@@ -1,0 +1,28 @@
+"""Pure numpy/pyarrow codec kernels — no Spark imports here.
+
+Codec ids (stable on-disk values, see blocks.py for the container format):
+
+  0 plain       LE fixed-width / offsets-strings (reference E1-E3)
+  1 bitpack     LSB-first bit-packing, width 0..64 (reference E11 generalized)
+  2 rle         Parquet RLE/bit-packed hybrid, width 0..32 (reference E10 generalized)
+  3 dict        dictionary page + RLE/bit-packed indices (new vs reference)
+  4 for_bp      frame-of-reference + bit-pack (new)
+  5 fsst        FSST-style symbol-table string compression (new)
+"""
+
+PLAIN = 0
+BITPACK = 1
+RLE = 2
+DICT = 3
+FOR_BP = 4
+FSST = 5
+
+CODEC_NAMES = {
+    PLAIN: "plain",
+    BITPACK: "bitpack",
+    RLE: "rle",
+    DICT: "dict",
+    FOR_BP: "for_bp",
+    FSST: "fsst",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
