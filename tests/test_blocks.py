@@ -1,0 +1,148 @@
+"""Block container round-trips: every dtype × nullability × codec path,
+mirroring the reference's end-to-end write→read table tests
+(/root/reference/parquet_test.go:33-502, 989-1023) at the column level."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_spark.codecs import blocks
+
+
+def rt(arr: pa.Array, **kw) -> pa.Array:
+    buf = blocks.encode_array(arr, **kw)
+    out = blocks.decode_array(buf)
+    return out, buf
+
+
+@pytest.mark.parametrize("dtype", ["int8", "int16", "int32", "int64", "uint8", "uint32", "uint64"])
+def test_int_roundtrip_all_codecs(dtype):
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 100, size=2000).astype(dtype)
+    arr = pa.array(vals)
+    for codec in [None, "plain", "for_bp", "dict", "rle"]:
+        out, _ = rt(arr, codec=codec)
+        assert out.equals(arr), codec
+
+
+def test_int64_extremes():
+    arr = pa.array(np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0], dtype=np.int64))
+    for codec in ["plain", "for_bp"]:
+        out, _ = rt(arr, codec=codec)
+        assert out.equals(arr)
+
+
+def test_float_nan_payload_bit_identical():
+    import struct
+
+    weird = np.frombuffer(struct.pack("<I", 0x7FC00123), dtype=np.float32)[0]
+    vals = np.array([1.5, weird, -0.0, np.inf, np.nan], dtype=np.float32)
+    arr = pa.array(vals)
+    out, _ = rt(arr)
+    assert np.asarray(out).tobytes() == vals.tobytes()
+
+
+def test_nullable_ints():
+    arr = pa.array([1, None, 3, None, 5, 5, 5, None], type=pa.int32())
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_nullable_strings():
+    arr = pa.array(["a", None, "bb", "", None, "ccc"] * 100)
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_all_null_column():
+    arr = pa.array([None, None, None], type=pa.int64())
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_bool_roundtrip():
+    arr = pa.array([True, False, None, True] * 50)
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_string_dict_auto():
+    arr = pa.array(["click", "view", "purchase"] * 1000)
+    out, buf = rt(arr)
+    assert out.equals(arr)
+    assert len(buf) < 2000  # auto-chooser must pick dict here
+
+
+def test_string_fsst_auto():
+    arr = pa.array([f"src{i % 20}-{i:012d}" for i in range(3000)])
+    out, buf = rt(arr)
+    assert out.equals(arr)
+    raw = sum(len(s) for s in arr.to_pylist())
+    assert len(buf) < raw  # shared prefixes must compress
+
+
+def test_unicode_strings():
+    arr = pa.array(["héllo", "wörld", "日本語テキスト", "🚀🌟", ""] * 40)
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_list_int32_tokens_bit_identical():
+    """The flagship invariant: token arrays round-trip bit-identically."""
+    rng = np.random.default_rng(9)
+    tokens = [rng.integers(0, 50000, size=int(rng.integers(0, 300))).astype(np.int32) for _ in range(500)]
+    arr = pa.array([t.tolist() for t in tokens], type=pa.list_(pa.int32()))
+    out, buf = rt(arr)
+    assert out.equals(arr)
+    flat_in = np.concatenate([t for t in tokens if len(t)]) if tokens else np.array([], np.int32)
+    flat_out = np.asarray(out.flatten(), dtype=np.int32)
+    assert flat_in.tobytes() == flat_out.tobytes()  # bit-identical
+
+
+def test_list_with_null_entries_and_empty_lists():
+    arr = pa.array([[1, 2], None, [], [3], None, [4, 5, 6]], type=pa.list_(pa.int64()))
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_list_float32_embeddings():
+    rng = np.random.default_rng(11)
+    arr = pa.array([rng.normal(size=64).astype(np.float32).tolist() for _ in range(100)], type=pa.list_(pa.float32()))
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_timestamp_us():
+    arr = pa.array([0, 10**15, None, 123456789], type=pa.timestamp("us"))
+    out, _ = rt(arr)
+    assert out.equals(arr)
+
+
+def test_runs_pick_rle_and_compress():
+    vals = np.repeat(np.arange(20, dtype=np.int32), 500)
+    arr = pa.array(vals)
+    out, buf = rt(arr)
+    assert out.equals(arr)
+    assert len(buf) < 500  # 20 runs -> tiny
+
+
+def test_narrow_range_picks_for_bp():
+    rng = np.random.default_rng(2)
+    vals = rng.integers(10**9, 10**9 + 16, size=4000).astype(np.int64)
+    arr = pa.array(vals)
+    out, buf = rt(arr)
+    assert out.equals(arr)
+    assert len(buf) < 4000 * 1 + 200  # ~4 bits/value + headers
+
+
+def test_empty_arrays():
+    for arr in [pa.array([], pa.int32()), pa.array([], pa.string()), pa.array([], pa.list_(pa.int32()))]:
+        out, _ = rt(arr)
+        assert out.equals(arr)
+
+
+def test_compression_fallback_random_floats():
+    rng = np.random.default_rng(3)
+    arr = pa.array(rng.normal(size=5000))
+    out, _ = rt(arr)
+    assert np.asarray(out).tobytes() == np.asarray(arr).tobytes()
