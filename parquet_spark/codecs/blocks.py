@@ -269,9 +269,11 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             comp = compression if compression is not None else "none"
 
     raw = validity + body
+    if compression is None and comp == "none" and len(raw) > 512:
+        comp = "zstd"  # trial general compression on top of any codec
     comp = comp if len(raw) > 64 else "none"
     payload = _compress(comp, raw)
-    if len(payload) >= len(raw):  # compression not worth it
+    if len(payload) >= len(raw) - 8:  # compression not worth it
         comp, payload = "none", raw
     header = _HEADER.pack(
         MAGIC, VERSION, CODEC_IDS[codec_name], COMPRESSIONS[comp], flags,

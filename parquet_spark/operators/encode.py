@@ -1,0 +1,265 @@
+"""Distributed encode: DataFrame → encoded-block DataFrame → table layout.
+
+The Spark-first replacement for the reference's write path
+(`Add/Write/Close`, /root/reference/cmd/parquetgen/gen/template.go:164-215,
+/root/reference/parquet.go:217-260):
+
+- reference row group          → Spark partition (one mapInArrow task)
+- reference page               → one block of `block_rows` rows per column
+- reference thrift footer      → manifest parquet + snapshot.json
+- row-at-a-time Add            → never: whole Arrow batches in, blocks out
+
+One output row per (partition, block): the per-column payloads sit in
+separate *binary columns* of that row, so the blocks parquet file is itself
+columnar — decoding a projection reads only the projected payload columns
+(Catalyst column pruning does the work). No join is needed to re-align
+columns on decode because row alignment is positional within the block.
+
+Table layout (Iceberg-style semantics — manifest + immutable data files +
+snapshot pointer; plain parquet paths are used because no Iceberg catalog
+jars ship in this sandbox, the substitution is documented in SURVEY.md §7):
+
+    table/
+      data/      blocks parquet (payload binary columns)
+      manifest/  per-(bucket, block, column) metrics + lineage
+      snapshot.json   schema, fingerprint, config, version
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_spark.operators.repartition import salted_repartition
+
+BUCKET_COL = "__bucket"
+DEFAULT_BLOCK_ROWS = 16384
+
+MANIFEST_DDL = (
+    "bucket int, part_id int, block_id long, column string, codec string, "
+    "compression string, n_values long, n_nulls long, raw_bytes long, "
+    "enc_bytes long, crc long"
+)
+
+
+def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool):
+    codec_overrides = codec_overrides or {}
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        from parquet_spark.codecs import blocks as blk
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
+        block_id = 0
+
+        def encode_block(tbl: pa.Table):
+            nonlocal block_id
+            n = tbl.num_rows
+            bucket = int(tbl.column(BUCKET_COL)[0].as_py()) if has_bucket and n else -1
+            payloads = []
+            metas = {}
+            for col in columns:
+                arr = tbl.column(col).combine_chunks()
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+                payload = blk.encode_array(arr, codec=codec_overrides.get(col), compression=compression)
+                raw_bytes = arr.nbytes
+                hdr = blk._HEADER.unpack_from(payload, 0)
+                metas[col] = {
+                    "codec": blk.CODEC_NAMES[hdr[2]],
+                    "compression": blk._COMPRESSION_NAMES[hdr[3]],
+                    "n_values": n,
+                    "n_nulls": arr.null_count,
+                    "raw_bytes": raw_bytes,
+                    "enc_bytes": len(payload),
+                    "crc": zlib.crc32(payload) & 0xFFFFFFFF,
+                }
+                payloads.append(payload)
+            arrays = [
+                pa.array([pid], pa.int32()),
+                pa.array([block_id], pa.int64()),
+                pa.array([bucket], pa.int32()),
+                pa.array([n], pa.int32()),
+                pa.array([json.dumps(metas)], pa.string()),
+            ] + [pa.array([p], pa.binary()) for p in payloads]
+            block_id += 1
+            return pa.RecordBatch.from_arrays(arrays, names=["part_id", "block_id", "bucket", "n_rows", "meta"] + columns)
+
+        pending: list[pa.RecordBatch] = []
+        n_pending = 0
+        current_bucket = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if has_bucket:
+                # split the batch at bucket boundaries (sorted within
+                # partition) so a block never straddles buckets
+                bvals = b.column(BUCKET_COL).to_numpy()
+                cut = np.flatnonzero(np.diff(bvals)) + 1
+                pieces = np.split(np.arange(len(bvals)), cut) if len(cut) else [np.arange(len(bvals))]
+                segs = [(int(bvals[p[0]]), b.slice(int(p[0]), len(p))) for p in pieces]
+            else:
+                segs = [(None, b)]
+            for seg_bucket, seg in segs:
+                if has_bucket and seg_bucket != current_bucket:
+                    if n_pending:
+                        yield encode_block(pa.Table.from_batches(pending))
+                        pending, n_pending = [], 0
+                    current_bucket = seg_bucket
+                pending.append(seg)
+                n_pending += seg.num_rows
+                while n_pending >= block_rows:
+                    tbl = pa.Table.from_batches(pending)
+                    yield encode_block(tbl.slice(0, block_rows))
+                    rest = tbl.slice(block_rows)
+                    pending = rest.to_batches() if rest.num_rows else []
+                    n_pending = rest.num_rows
+        if n_pending:
+            yield encode_block(pa.Table.from_batches(pending))
+
+    return fn
+
+
+def encode_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    codecs: dict | None = None,
+    compression: str | None = None,
+) -> DataFrame:
+    """DataFrame → blocks DataFrame (one row per block, one binary payload
+    column per encoded input column). Purely declarative — the encode runs
+    inside one mapInArrow stage per partition when the result is consumed."""
+    has_bucket = BUCKET_COL in df.columns
+    columns = columns or [c for c in df.columns if c != BUCKET_COL]
+    out_ddl = "part_id int, block_id long, bucket int, n_rows int, meta string, " + ", ".join(
+        f"`{c}` binary" for c in columns
+    )
+    return df.mapInArrow(_encode_fn(columns, block_rows, codecs, compression, has_bucket), out_ddl)
+
+
+def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
+    """Explode the per-block meta JSON into the manifest relation."""
+    meta_schema = (
+        "map<string, struct<codec:string, compression:string, n_values:long, "
+        "n_nulls:long, raw_bytes:long, enc_bytes:long, crc:long>>"
+    )
+    m = blocks_df.select(
+        "bucket", "part_id", "block_id", F.explode(F.from_json("meta", meta_schema)).alias("column", "s")
+    )
+    return m.select(
+        "bucket", "part_id", "block_id", "column",
+        F.col("s.codec").alias("codec"),
+        F.col("s.compression").alias("compression"),
+        F.col("s.n_values").alias("n_values"),
+        F.col("s.n_nulls").alias("n_nulls"),
+        F.col("s.raw_bytes").alias("raw_bytes"),
+        F.col("s.enc_bytes").alias("enc_bytes"),
+        F.col("s.crc").alias("crc"),
+    )
+
+
+def _snapshot_path(path: str) -> str:
+    return os.path.join(path, "snapshot.json")
+
+
+def write_snapshot(path: str, schema_json: str, columns: list[str], fingerprint: str, extra: dict | None = None) -> None:
+    snap = {
+        "version": 1,
+        "schema": json.loads(schema_json),
+        "columns": columns,
+        "fingerprint": fingerprint,
+        "created_unix": int(time.time()),
+    }
+    if extra:
+        snap.update(extra)
+    os.makedirs(path, exist_ok=True)
+    with open(_snapshot_path(path), "w") as f:
+        json.dump(snap, f)
+
+
+def read_snapshot(path: str) -> dict | None:
+    p = _snapshot_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def dataset_fingerprint(df: DataFrame, explicit: str | None = None) -> str:
+    """Lineage key for resumability: input files + schema (no data scan)."""
+    if explicit:
+        return explicit
+    files = sorted(df.inputFiles())
+    h = zlib.crc32(("\n".join(files) + df.schema.json()).encode())
+    return f"fp-{h:08x}-{len(files)}"
+
+
+def write_encoded(
+    df: DataFrame,
+    path: str,
+    target_partitions: int | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    codecs: dict | None = None,
+    compression: str | None = None,
+    resume: bool = True,
+    fingerprint: str | None = None,
+    source_col: str = "source",
+    salt_key: str = "doc_id",
+    weight_col: str | None = "n_tok",
+) -> dict:
+    """Full encode pipeline: salted repartition → encode → data + manifest +
+    snapshot. Resumable: re-running after a partial failure anti-joins the
+    completed buckets out of the input and appends only the missing ones.
+
+    Returns a summary dict (buckets encoded/skipped, manifest path)."""
+    spark = df.sparkSession
+    fp = dataset_fingerprint(df, fingerprint)
+    columns = [c for c in df.columns]
+    if target_partitions is None:
+        target_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    salted, n_buckets = salted_repartition(
+        df, target_partitions, source_col=source_col, salt_key=salt_key, weight_col=weight_col
+    )
+
+    skipped = 0
+    mode = "overwrite"
+    snap = read_snapshot(path) if resume else None
+    if snap and snap.get("fingerprint") == fp:
+        done = (
+            spark.read.schema(MANIFEST_DDL)
+            .parquet(os.path.join(path, "manifest"))
+            .select("bucket").distinct()
+        )
+        done_list = [r.bucket for r in done.collect()]
+        skipped = len(done_list)
+        if skipped >= n_buckets:
+            return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
+        if skipped:
+            salted = salted.join(F.broadcast(done.withColumnRenamed("bucket", BUCKET_COL)), BUCKET_COL, "left_anti")
+            mode = "append"
+
+    blocks = encode_table(salted, columns=columns, block_rows=block_rows, codecs=codecs, compression=compression)
+    blocks.write.mode(mode).parquet(os.path.join(path, "data"))
+    data_df = spark.read.parquet(os.path.join(path, "data"))
+    if mode == "append":
+        # manifest rebuilt from the full data dir keeps it consistent
+        manifest_from_blocks(data_df.select("bucket", "part_id", "block_id", "meta")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "manifest"))
+    else:
+        manifest_from_blocks(data_df.select("bucket", "part_id", "block_id", "meta")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "manifest"))
+    write_snapshot(path, df.schema.json(), columns, fp, {"n_buckets": n_buckets, "block_rows": block_rows})
+    return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}

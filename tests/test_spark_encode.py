@@ -1,0 +1,140 @@
+"""End-to-end Spark round-trips: the flagship invariant (tokens bit-identical
+after encode→decode), compression vs plain parquet, projection pruning,
+salted repartitioning, resumability (SURVEY.md §7 Phases 3-4)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from parquet_spark.operators.decode import read_encoded, read_manifest
+from parquet_spark.operators.encode import write_encoded
+from parquet_spark.operators.repartition import plan_salted_buckets, with_salted_bucket
+from parquet_spark.sources.synth import sequences_df, write_sequences
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def seq_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("seq") / "sequences")
+    write_sequences(spark, p, N_ROWS, seed=42, n_partitions=4, mean_tokens=64)
+    return p
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(os.path.getsize(f) for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def test_roundtrip_bit_identical_and_compression(spark, seq_path, tmp_path):
+    df = spark.read.parquet(seq_path)
+    table_path = str(tmp_path / "enc")
+    summary = write_encoded(df, table_path, target_partitions=8, fingerprint="t1")
+    assert summary["buckets_skipped"] == 0
+
+    decoded = read_encoded(spark, table_path)
+    orig = df.orderBy("doc_id").toPandas()
+    got = decoded.orderBy("doc_id").toPandas()
+    assert list(orig["doc_id"]) == list(got["doc_id"])
+    assert list(orig["source"]) == list(got["source"])
+    assert list(orig["n_tok"]) == list(got["n_tok"])
+    # flagship: token arrays bit-identical (north-rule per-row invariant)
+    for a, b in zip(orig["tokens"], got["tokens"]):
+        assert np.asarray(a, dtype=np.int32).tobytes() == np.asarray(b, dtype=np.int32).tobytes()
+
+    # compressed size (payload bytes from manifest) ≤ plain parquet input
+    man = read_manifest(spark, table_path)
+    enc_bytes = man.groupBy().sum("enc_bytes").collect()[0][0]
+    parquet_bytes = _dir_bytes(seq_path)
+    assert enc_bytes <= parquet_bytes, (enc_bytes, parquet_bytes)
+
+
+def test_projection_reads_single_column(spark, seq_path, tmp_path):
+    df = spark.read.parquet(seq_path)
+    table_path = str(tmp_path / "enc2")
+    write_encoded(df, table_path, target_partitions=4, fingerprint="t2")
+    only_ntok = read_encoded(spark, table_path, columns=["n_tok"])
+    assert only_ntok.columns == ["n_tok"]
+    got = sum(r.n_tok for r in only_ntok.collect())
+    want = df.groupBy().sum("n_tok").collect()[0][0]
+    assert got == want
+    # the physical parquet scan of the blocks file must prune to the
+    # projected payload column (+ nothing else)
+    plan = only_ntok._jdf.queryExecution().executedPlan().toString()
+    assert "tokens" not in plan.lower().replace("n_tok", "")
+
+
+def test_salted_buckets_balance_and_determinism(spark, seq_path):
+    df = spark.read.parquet(seq_path)
+    plan = plan_salted_buckets(df, 16)
+    total_buckets = plan[-1][1] + plan[-1][2]
+    assert total_buckets >= 16
+    b1 = with_salted_bucket(df, plan).groupBy("__bucket").count().orderBy("__bucket").collect()
+    b2 = with_salted_bucket(df, plan).groupBy("__bucket").count().orderBy("__bucket").collect()
+    assert b1 == b2  # deterministic
+    # hot source (zipf head ~27% of rows) must be spread over several buckets
+    hot = with_salted_bucket(df.filter("source = 'src0'"), plan).select("__bucket").distinct().count()
+    assert hot >= 3
+
+
+def test_resume_skips_completed_buckets(spark, seq_path, tmp_path):
+    df = spark.read.parquet(seq_path)
+    table_path = str(tmp_path / "enc3")
+    s1 = write_encoded(df, table_path, target_partitions=4, fingerprint="t3")
+    assert s1["buckets_skipped"] == 0
+    # re-run: everything already committed -> no work
+    s2 = write_encoded(df, table_path, target_partitions=4, fingerprint="t3")
+    assert s2["buckets_skipped"] >= s1["buckets_total"]
+
+    # simulate a partial failure: drop half the buckets from data+manifest
+    data = spark.read.parquet(os.path.join(table_path, "data"))
+    buckets = sorted(r.bucket for r in data.select("bucket").distinct().collect())
+    keep = buckets[: len(buckets) // 2]
+    data.filter(data.bucket.isin(keep)).write.mode("overwrite").parquet(os.path.join(table_path, "data2"))
+    import shutil
+
+    shutil.rmtree(os.path.join(table_path, "data"))
+    shutil.move(os.path.join(table_path, "data2"), os.path.join(table_path, "data"))
+    from parquet_spark.operators.encode import manifest_from_blocks
+
+    manifest_from_blocks(
+        spark.read.parquet(os.path.join(table_path, "data")).select("bucket", "part_id", "block_id", "meta")
+    ).write.mode("overwrite").parquet(os.path.join(table_path, "manifest"))
+
+    s3 = write_encoded(df, table_path, target_partitions=4, fingerprint="t3")
+    assert 0 < s3["buckets_skipped"] < s3["buckets_total"]
+    # after resume the table must decode to the complete dataset
+    decoded = read_encoded(spark, table_path, columns=["doc_id"])
+    assert decoded.count() == N_ROWS
+    assert decoded.distinct().count() == N_ROWS
+
+
+def test_nullable_column_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = (
+        sequences_df(spark, 500, seed=1, n_partitions=2, mean_tokens=16)
+        .withColumn("maybe", F.when(F.col("n_tok") % 3 == 0, F.col("n_tok")).otherwise(F.lit(None)))
+    )
+    src = df.cache()
+    table_path = str(tmp_path / "enc4")
+    write_encoded(src, table_path, target_partitions=2, fingerprint="t4")
+    got = read_encoded(spark, table_path).orderBy("doc_id").toPandas()
+    want = src.orderBy("doc_id").toPandas()
+    assert list(got["maybe"].fillna(-1)) == list(want["maybe"].fillna(-1))
+    src.unpersist()
+
+
+def test_manifest_codecs_and_metrics(spark, seq_path, tmp_path):
+    df = spark.read.parquet(seq_path)
+    table_path = str(tmp_path / "enc5")
+    write_encoded(df, table_path, target_partitions=4, fingerprint="t5")
+    man = read_manifest(spark, table_path).toPandas()
+    assert set(man["column"]) == {"doc_id", "tokens", "n_tok", "source"}
+    # source has ~20 distinct values -> dict must win on every block
+    src_codecs = set(man[man["column"] == "source"]["codec"])
+    assert src_codecs == {"dict"}
+    assert (man["enc_bytes"] > 0).all()
+    assert (man["n_values"] > 0).all()
