@@ -1,38 +1,215 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: encode the documents table of sf0.001 through the
+engine (stats-driven codec auto-selection), decode it back, and return the
+per-column reconciliation (codec, bytes, row-equality) as a DataFrame.
+
+`queries()` — one entry per implemented operator from SURVEY.md §2:
+  roundtrip_* queries push real columns through encode→decode (the engine's
+  E1-E16 replacements) and return the original values — the DuckDB oracle is
+  the identity query, so a value-hash match proves bit-exact round-trips.
+  stats_* queries are the engine's statistics operators (T1-T7) in their
+  SQL-expressible form.
+
+`oracle_sql()` — DuckDB equivalents with identical column aliases.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+def _roundtrip(df: DataFrame, codecs: dict | None = None) -> DataFrame:
+    """encode→decode a DataFrame fully in-memory through the engine."""
+    from parquet_spark.operators.decode import decode_table
+    from parquet_spark.operators.encode import encode_table
+
+    blocks = encode_table(df, codecs=codecs)
+    return decode_table(blocks, df.schema)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: encode documents, decode, reconcile."""
+    from parquet_spark.operators.decode import decode_table
+    from parquet_spark.operators.encode import encode_table, manifest_from_blocks
+
+    df = _t(spark, "/root/testdata/sf0.001", "documents")
+    blocks = encode_table(df).cache()
+    decoded = decode_table(blocks, df.schema)
+    n_orig = df.count()
+    n_dec = decoded.count()
+    man = manifest_from_blocks(blocks)
+    out = man.groupBy("column", "codec", "compression").agg(
+        F.sum("n_values").alias("n_values"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).withColumn("rows_original", F.lit(n_orig)).withColumn("rows_decoded", F.lit(n_dec))
+    return out.orderBy("column")
+
+
+# --------------------------------------------------------------- queries
+
+def _q_roundtrip_dict_strings(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return _roundtrip(df, codecs={"event_type": "dict"})
+
+
+def _q_roundtrip_rle_ints(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return _roundtrip(df, codecs={"l_orderkey": "rle", "l_linenumber": "rle"})
+
+
+def _q_roundtrip_forbp_ints(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return _roundtrip(df, codecs={"o_orderkey": "for_bp", "o_custkey": "for_bp"})
+
+
+def _q_roundtrip_fsst_text(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _roundtrip(df, codecs={"text": "fsst"})
+
+
+def _q_roundtrip_plain_floats(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return _roundtrip(df, codecs={"l_extendedprice": "plain"})
+
+
+def _q_roundtrip_optional_nulls(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    return _roundtrip(df)
+
+
+def _q_roundtrip_bool(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("value") > 10.0).alias("big")
+    )
+    return _roundtrip(df)
+
+
+def _q_roundtrip_timestamps(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return _roundtrip(df)
+
+
+def _q_roundtrip_auto_all(spark, sf_dir):
+    """Auto-chooser across a mixed-type projection — no overrides."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    return _roundtrip(df)
+
+
+def _q_stats_minmax_nulls(spark, sf_dir):
+    from parquet_spark.functions import minmax_null_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    return minmax_null_stats(df, ["l_quantity", "l_extendedprice", "l_linenumber", "l_returnflag"])
+
+
+def _q_stats_ndv(spark, sf_dir):
+    from parquet_spark.functions import ndv_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    return ndv_stats(df, ["l_returnflag", "l_linestatus", "l_partkey", "l_orderkey"])
+
+
+def _q_stats_run_length(spark, sf_dir):
+    from parquet_spark.functions import run_length_stats
+
+    df = _t(spark, sf_dir, "lineitem")
+    return run_length_stats(df, "l_returnflag", ["l_orderkey", "l_linenumber"])
+
+
+def _q_stats_dict_estimate(spark, sf_dir):
+    from parquet_spark.functions import dict_size_estimate
+
+    df = _t(spark, sf_dir, "events")
+    return dict_size_estimate(df, "event_type", 8)
+
+
+def _q_stats_source_weights(spark, sf_dir):
+    from parquet_spark.functions import source_weight_plan
+
+    df = _t(spark, sf_dir, "documents")
+    return source_weight_plan(df, "source", "n_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "roundtrip_dict_strings": _q_roundtrip_dict_strings,
+        "roundtrip_rle_ints": _q_roundtrip_rle_ints,
+        "roundtrip_forbp_ints": _q_roundtrip_forbp_ints,
+        "roundtrip_fsst_text": _q_roundtrip_fsst_text,
+        "roundtrip_plain_floats": _q_roundtrip_plain_floats,
+        "roundtrip_optional_nulls": _q_roundtrip_optional_nulls,
+        "roundtrip_bool": _q_roundtrip_bool,
+        "roundtrip_timestamps": _q_roundtrip_timestamps,
+        "roundtrip_auto_all": _q_roundtrip_auto_all,
+        "stats_minmax_nulls": _q_stats_minmax_nulls,
+        "stats_ndv": _q_stats_ndv,
+        "stats_run_length": _q_stats_run_length,
+        "stats_dict_estimate": _q_stats_dict_estimate,
+        "stats_source_weights": _q_stats_source_weights,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_dict_strings": "SELECT event_id, event_type FROM events",
+        "roundtrip_rle_ints": "SELECT l_orderkey, l_linenumber FROM lineitem",
+        "roundtrip_forbp_ints": "SELECT o_orderkey, o_custkey FROM orders",
+        "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
+        "roundtrip_plain_floats": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+        "roundtrip_optional_nulls": (
+            "SELECT event_id, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v FROM events"
+        ),
+        "roundtrip_bool": "SELECT event_id, value > 10.0 AS big FROM events",
+        "roundtrip_timestamps": "SELECT event_id, ts FROM events",
+        "roundtrip_auto_all": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus FROM lineitem"
+        ),
+        "stats_minmax_nulls": (
+            "SELECT min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity, "
+            "sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity, "
+            "min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice, "
+            "sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nulls_l_extendedprice, "
+            "min(l_linenumber) AS min_l_linenumber, max(l_linenumber) AS max_l_linenumber, "
+            "sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS nulls_l_linenumber, "
+            "min(l_returnflag) AS min_l_returnflag, max(l_returnflag) AS max_l_returnflag, "
+            "sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls_l_returnflag "
+            "FROM lineitem"
+        ),
+        "stats_ndv": (
+            "SELECT count(DISTINCT l_returnflag) AS ndv_l_returnflag, "
+            "count(DISTINCT l_linestatus) AS ndv_l_linestatus, "
+            "count(DISTINCT l_partkey) AS ndv_l_partkey, "
+            "count(DISTINCT l_orderkey) AS ndv_l_orderkey FROM lineitem"
+        ),
+        "stats_run_length": (
+            "WITH runs AS (SELECT CASE WHEN l_returnflag <> lag(l_returnflag) "
+            "OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 ELSE 1 END AS chg_raw, "
+            "CASE WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) IS NULL THEN 1 "
+            "WHEN l_returnflag <> lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 "
+            "ELSE 0 END AS chg FROM lineitem) "
+            "SELECT count(*) AS n_values, sum(chg) AS n_runs FROM runs"
+        ),
+        "stats_dict_estimate": (
+            "SELECT count(event_type) AS n, count(DISTINCT event_type) AS ndv, "
+            "CAST(ceil(log2(greatest(count(DISTINCT event_type), 2))) AS BIGINT) AS idx_bits, "
+            "CAST(ceil(count(event_type) * ceil(log2(greatest(count(DISTINCT event_type), 2))) / 8) "
+            "+ count(DISTINCT event_type) * 8 AS BIGINT) AS est_bytes FROM events"
+        ),
+        "stats_source_weights": (
+            "SELECT source, sum(n_chars) AS weight FROM documents GROUP BY source ORDER BY source"
+        ),
+    }

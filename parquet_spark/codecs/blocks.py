@@ -269,8 +269,10 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             comp = compression if compression is not None else "none"
 
     raw = validity + body
-    if compression is None and comp == "none" and len(raw) > 512:
-        comp = "zstd"  # trial general compression on top of any codec
+    if compression is None and comp == "none" and len(raw) > 512 and dt_name != "list":
+        # trial general compression on top of any codec (lists skip it:
+        # their child blocks already made their own compression choice)
+        comp = "zstd"
     comp = comp if len(raw) > 64 else "none"
     payload = _compress(comp, raw)
     if len(payload) >= len(raw) - 8:  # compression not worth it
@@ -353,3 +355,29 @@ def _scatter_nulls(dense: pa.Array, mask: np.ndarray | None, n: int) -> pa.Array
     idx[mask] = np.arange(int(mask.sum()))
     idx_arr = pa.array(idx, pa.int64(), mask=~mask)  # mask=True -> null index
     return dense.take(idx_arr)
+
+
+def describe(buf: bytes | memoryview) -> dict:
+    """Parse block headers (recursively for lists/strings) without decoding
+    values — feeds the manifest's codec/compression lineage columns."""
+    mv = memoryview(buf)
+    magic, _v, codec_id, comp_id, flags, dt_id, child_dt, _, n, body_len, raw_len = _HEADER.unpack_from(mv, 0)
+    if magic != MAGIC:
+        raise ValueError("bad block magic")
+    out = {
+        "codec": CODEC_NAMES[codec_id],
+        "compression": _COMPRESSION_NAMES[comp_id],
+        "dtype": _DTYPE_NAMES[dt_id],
+        "n": n,
+        "enc_bytes": _HEADER.size + body_len,
+    }
+    if _DTYPE_NAMES[dt_id] == "list":
+        raw = _decompress(_COMPRESSION_NAMES[comp_id], bytes(mv[_HEADER.size : _HEADER.size + body_len]), raw_len)
+        pos = ((n + 7) // 8) if flags & FLAG_VALIDITY else 0
+        len_codec_id, len_len, child_len = struct.unpack_from("<BII", raw, pos)
+        child = describe(memoryview(raw)[pos + 9 + len_len : pos + 9 + len_len + child_len])
+        out["lengths_codec"] = CODEC_NAMES[len_codec_id]
+        out["child"] = child
+        out["codec"] = f"list<{child['codec']}>"
+        out["compression"] = child["compression"] if child["compression"] != "none" else out["compression"]
+    return out

@@ -1,0 +1,66 @@
+"""SQL-expressible statistics operators (DataFrame API, oracle-checkable).
+
+These are the queryable faces of the engine's stats layer (reference ops
+T1-T7, /root/reference/parquet.go:102-107 and gen/template_*.go stats
+blocks, upgraded per SURVEY.md §2.4): min/max/null-count parity, exact ndv
+(the reference declares DistinctCount but never computes it —
+template_required.go:102-104), run-length structure via window functions,
+and the deterministic dictionary-size estimator that drives codec choice.
+
+Every helper aliases its outputs so the DuckDB oracle can match columns
+by name (driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def minmax_null_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row: min_<c>, max_<c>, nulls_<c> per column (reference T1-T6)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+    return df.agg(*aggs)
+
+
+def ndv_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact distinct counts (T7 upgraded — drives dict-codec selection)."""
+    return df.agg(*[F.countDistinct(c).alias(f"ndv_{c}") for c in cols])
+
+
+def run_length_stats(df: DataFrame, col: str, order_cols: list[str]) -> DataFrame:
+    """Run structure of `col` under a total order: n_values, n_runs.
+
+    The single unpartitioned window is oracle-parity only (DuckDB runs the
+    same SQL); the engine's production path computes run stats per block
+    inside the encode kernel (stats/analyze.py) with no shuffle at all.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    changed = (F.col(col) != F.lag(col, 1).over(w)).cast("long")
+    runs = df.select(F.coalesce(changed, F.lit(1)).alias("chg"))
+    return runs.agg(
+        F.count("*").alias("n_values"),
+        F.sum("chg").alias("n_runs"),
+    )
+
+
+def dict_size_estimate(df: DataFrame, col: str, value_bytes: int) -> DataFrame:
+    """Deterministic dictionary-encoding size model: index bits =
+    ceil(log2(ndv)), estimated bytes = n*bits/8 + ndv*value_bytes."""
+    agg = df.agg(F.count(col).alias("n"), F.countDistinct(col).alias("ndv"))
+    bits = F.ceil(F.log2(F.greatest(F.col("ndv"), F.lit(2))))
+    return agg.select(
+        "n",
+        "ndv",
+        bits.cast("long").alias("idx_bits"),
+        (F.ceil(F.col("n") * bits / 8) + F.col("ndv") * F.lit(value_bytes)).cast("long").alias("est_bytes"),
+    )
+
+
+def source_weight_plan(df: DataFrame, source_col: str, weight_col: str) -> DataFrame:
+    """The salted-repartition planning aggregation (operators/repartition.py)
+    as an oracle-checkable relation: per-source weight."""
+    return df.groupBy(source_col).agg(F.sum(weight_col).alias("weight")).orderBy(source_col)

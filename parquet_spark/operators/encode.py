@@ -73,10 +73,10 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                     arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
                 payload = blk.encode_array(arr, codec=codec_overrides.get(col), compression=compression)
                 raw_bytes = arr.nbytes
-                hdr = blk._HEADER.unpack_from(payload, 0)
+                info = blk.describe(payload)
                 metas[col] = {
-                    "codec": blk.CODEC_NAMES[hdr[2]],
-                    "compression": blk._COMPRESSION_NAMES[hdr[3]],
+                    "codec": info["codec"],
+                    "compression": info["compression"],
                     "n_values": n,
                     "n_nulls": arr.null_count,
                     "raw_bytes": raw_bytes,
