@@ -144,6 +144,80 @@ def _q_stats_source_weights(spark, sf_dir):
     return source_weight_plan(df, "source", "n_chars")
 
 
+# ----------------------------------------------- training-data pipeline ops
+
+def _q_text_token_counts(spark, sf_dir):
+    from parquet_spark.pipeline import textops
+
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from parquet_spark.pipeline import textops
+
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_langid(spark, sf_dir):
+    from parquet_spark.pipeline import textops
+
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprints(spark, sf_dir):
+    from parquet_spark.pipeline import textops
+
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from parquet_spark.pipeline import dedup
+
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from parquet_spark.pipeline import dedup
+
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from parquet_spark.pipeline import dedup
+
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from parquet_spark.pipeline import dedup
+
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_sim_knn_bruteforce(spark, sf_dir):
+    from parquet_spark.pipeline import similarity
+
+    return similarity.knn_bruteforce(_t(spark, sf_dir, "embeddings"), k=5, n_queries=10)
+
+
+def _q_sim_near_dup(spark, sf_dir):
+    from parquet_spark.pipeline import similarity
+
+    return similarity.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _q_sim_knn_lsh(spark, sf_dir):
+    from parquet_spark.pipeline import similarity
+
+    return similarity.knn_lsh(_t(spark, sf_dir, "embeddings"), k=5, n_queries=10, dim=64)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from parquet_spark.pipeline import multimodal
+
+    return multimodal.media_features(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_dict_strings": _q_roundtrip_dict_strings,
@@ -160,6 +234,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_run_length": _q_stats_run_length,
         "stats_dict_estimate": _q_stats_dict_estimate,
         "stats_source_weights": _q_stats_source_weights,
+        "text_token_counts": _q_text_token_counts,
+        "text_quality_scores": _q_text_quality,
+        "text_language_id": _q_text_langid,
+        "text_fingerprints": _q_text_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "sim_knn_bruteforce": _q_sim_knn_bruteforce,
+        "sim_near_dup": _q_sim_near_dup,
+        "sim_knn_lsh": _q_sim_knn_lsh,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -212,4 +298,25 @@ def oracle_sql() -> dict[str, str]:
         "stats_source_weights": (
             "SELECT source, sum(n_chars) AS weight FROM documents GROUP BY source ORDER BY source"
         ),
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from parquet_spark.pipeline import dedup, multimodal, similarity, textops
+
+    return {
+        "text_token_counts": textops.token_counts_oracle(),
+        "text_quality_scores": textops.quality_scores_oracle(),
+        "text_language_id": textops.language_id_oracle(),
+        "text_fingerprints": textops.fingerprints_oracle(),
+        "dedup_exact": dedup.dedup_exact_oracle(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(threshold=0.2),
+        # minhash_lsh verifies candidates with exact Jaccard; at b=64/r=2 its
+        # recall at s>=0.4 is ~1, so the exact-Jaccard SQL is its oracle too.
+        "dedup_minhash_lsh": dedup.ngram_jaccard_oracle(threshold=0.4),
+        # dedup_simhash / sim_knn_lsh: approximate, rows-only check (no SQL).
+        "sim_knn_bruteforce": similarity.knn_bruteforce_oracle(k=5, n_queries=10),
+        "sim_near_dup": similarity.near_dup_oracle(threshold=0.3),
+        "multimodal_features": multimodal.media_features_oracle(),
     }

@@ -1,0 +1,154 @@
+"""Headline benchmark for the parquet_spark engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ..., ...extras}
+
+Extras carry the north-rule evidence: encode tokens/sec, compressed
+bytes-per-token for the engine vs a plain `df.write.parquet` (snappy) of the
+same columns (the local proxy for the reference writer's output size — see
+BASELINE.md), and the core count, so `bench_scaling.py` can compute N→4N
+scaling efficiency from two runs of this same script.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32 (master = local[CPUS])
+  SPARK_GRAFT_SEQ_ROWS default 100000 synthetic sequence rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith((".crc", "_SUCCESS")):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    seq_rows = int(os.environ.get("SPARK_GRAFT_SEQ_ROWS", "100000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    work = os.environ.get("SPARK_GRAFT_WORKDIR", f"{base}/psbench-{cpus}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    # local-mode benchmarking notes (see BASELINE.md "scaling evidence"):
+    # - 1g code cache: repeated codegen across runs otherwise exhausts the
+    #   default 240m and the JIT silently falls back to the interpreter
+    #   (observed 10x per-task CPU inflation in event logs)
+    # - shuffle dirs on tmpfs: the sandbox VM disk has multi-second
+    #   writeback stalls that would measure the disk, not the engine
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"parquet_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.local.dir", os.path.join(work, "spark-local"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import encode_table, write_encoded
+    from parquet_spark.sources.synth import sequences_df, write_sequences
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "seq_rows": seq_rows}
+
+    # ---- input: deterministic synthetic sequences, partition count PINNED
+    # so every core count sees byte-identical input (scaling evidence).
+    inp = os.path.join(work, "input")
+    write_sequences(spark, inp, n_rows=seq_rows, seed=42, n_partitions=32)
+    seq = spark.read.parquet(inp)
+    n_tokens = seq.agg(F.sum("n_tok")).collect()[0][0]
+    extras["n_tokens"] = int(n_tokens)
+
+    # ---- warmup: spin Python workers + JIT through the full encode path
+    # (untimed — steady-state throughput is what scales to a cluster)
+    encode_table(sequences_df(spark, 2000, seed=1, n_partitions=cpus)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # ---- q1: engine encode (salted repartition -> mapInArrow -> table),
+    # min of 3 runs (sandbox VM jitter; min = capability)
+    enc_path = os.path.join(work, "encoded")
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        write_encoded(seq, enc_path, target_partitions=64, resume=False)
+        runs.append(time.perf_counter() - t0)
+    timings["encode_sequences"] = min(runs)
+    extras["encode_runs_sec"] = [round(r, 3) for r in runs]
+    enc_bytes = dir_bytes(os.path.join(enc_path, "data"))
+    extras["encode_tokens_per_sec"] = n_tokens / timings["encode_sequences"]
+    extras["engine_bytes_per_token"] = enc_bytes / n_tokens
+
+    # ---- q2: decode + checksum (round-trip proof at bench scale)
+    t0 = time.perf_counter()
+    dec = read_encoded(spark, enc_path)
+    crc_dec = dec.agg(
+        F.sum(F.crc32(F.concat_ws(",", F.col("doc_id"), F.col("tokens").cast("string")))).alias("c")
+    ).collect()[0][0]
+    timings["decode_sequences"] = time.perf_counter() - t0
+    crc_orig = seq.agg(
+        F.sum(F.crc32(F.concat_ws(",", F.col("doc_id"), F.col("tokens").cast("string")))).alias("c")
+    ).collect()[0][0]
+    extras["roundtrip_crc_match"] = bool(crc_dec == crc_orig)
+    extras["decode_tokens_per_sec"] = n_tokens / timings["decode_sequences"]
+
+    # ---- q3: plain parquet write of the same columns (reference-size proxy)
+    pq_path = os.path.join(work, "parquet_baseline")
+    t0 = time.perf_counter()
+    seq.write.mode("overwrite").option("compression", "snappy").parquet(pq_path)
+    timings["parquet_write_baseline"] = time.perf_counter() - t0
+    pq_bytes = dir_bytes(pq_path)
+    extras["parquet_bytes_per_token"] = pq_bytes / n_tokens
+    extras["size_ratio_vs_parquet"] = enc_bytes / pq_bytes
+
+    # ---- q4/q5: engine round-trips over driver tables (auto codec chooser)
+    from __spark_entry__ import queries
+
+    q = queries()
+    t0 = time.perf_counter()
+    q["roundtrip_auto_all"](spark, sf_dir).agg(F.count("*")).collect()
+    timings["roundtrip_lineitem_auto"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q["roundtrip_fsst_text"](spark, sf_dir).agg(F.count("*")).collect()
+    timings["roundtrip_documents_fsst"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "encode+decode wall time (engine, synthetic sequences + driver tables)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+    }
+    out.update({k: (round(v, 4) if isinstance(v, float) else v) for k, v in extras.items()})
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data curation.
+
+Five families (the standard curation ladder):
+  exact            — md5 over normalized text, hash groupBy (one shuffle)
+  ngram_jaccard    — exact word-bigram Jaccard via a shingle-blocked
+                     self-join (no cross product: candidates must share a
+                     shingle, which is also the LSH-free scale path for
+                     moderate thresholds)
+  minhash_lsh      — vectorized MinHash signatures (pandas UDF) + banded
+                     bucket join for candidates, then exact-Jaccard verify;
+                     at b=64, r=2 the candidate recall at s≥0.4 is
+                     1-(1-s²)^64 ≈ 1-1.4e-5, so the verified output equals
+                     the exact operator's (what the oracle checks)
+  simhash          — 64-bit SimHash over word hashes (vectorized), near-dup
+                     via 16-bit band blocking + Hamming≤3 verify
+  embedding cosine — see pipeline/similarity.py (near_dup_pairs)
+
+Scale notes: every join here is an equi-join on a blocking key (shingle,
+LSH bucket, or SimHash band) — Catalyst shuffles both sides on that key and
+AQE handles stragglers; nothing enumerates the O(n²) pair space. Hot
+shingles (stop-bigrams) are the skew risk: `ngram_jaccard_pairs` caps
+blocking-key fanout by dropping shingles above `max_df` document frequency,
+the same trick DataSketches/Spark dedup pipelines use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+JACCARD_ROUND = 6
+
+
+def normalize_text(col):
+    """lower + trim + collapse whitespace — identical in Spark and DuckDB."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+NORMALIZE_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct normalized text, keeping the
+    smallest id; n_dupes counts members. One hash-shuffle, map-side
+    partial aggregation for free."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_md5")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def dedup_exact_oracle(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = NORMALIZE_SQL.format(c=text_col)
+    return (
+        f"SELECT md5({norm}) AS text_md5, min({id_col}) AS keep_id, "
+        f"count(*) AS n_dupes FROM {table} GROUP BY 1"
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+def _shingles(text_col: str):
+    """Distinct word-bigram shingles of the normalized text (codegen only)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    )
+    return F.array_distinct(grams)
+
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, len({w}) - 1), "
+    "i -> {w}[i] || ' ' || {w}[i + 1]))"
+)
+
+
+def _shingle_words_sql(text_col: str) -> str:
+    return f"string_split({NORMALIZE_SQL.format(c=text_col)}, ' ')"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram (word-bigram) Jaccard near-dup pairs via shingle
+    blocking: explode distinct shingles, equi-join on shingle, count shared
+    shingles per pair, compute |∩|/(|A|+|B|-|∩|). `max_df` drops
+    ultra-common shingles from *blocking only* when set (skew control at
+    scale); the Jaccard itself always uses the full shingle sets."""
+    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col).alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = ex.groupBy("g").agg(F.count("*").alias("df_")).filter(F.col("df_") > max_df)
+        ex = ex.join(F.broadcast(hot.select("g")), "g", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), JACCARD_ROUND)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle(
+    table: str = "documents", threshold: float = 0.4, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    w = _shingle_words_sql(text_col)
+    sh = SHINGLES_SQL.format(w=w)
+    return (
+        f"WITH s AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}), "
+        f"e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS g FROM s), "
+        f"p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, "
+        f"count(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.id < b.id "
+        f"GROUP BY 1, 2, 3, 4) "
+        f"SELECT id_a, id_b, round(inter / (na + nb - inter), {JACCARD_ROUND}) AS jaccard "
+        f"FROM p WHERE round(inter / (na + nb - inter), {JACCARD_ROUND}) >= {threshold}"
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+MINHASH_N = 128  # b=64 bands × r=2 rows
+MINHASH_BANDS = 64
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _fnv1a_bytes(tokens: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over a list of shingle strings."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):  # outer loop over shingles of ONE doc
+        h = np.uint64(0xCBF29CE484222325)
+        for c in t.encode():
+            h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_shingles,) uint64 -> (MINHASH_N,) uint64 signature, fully
+    vectorized: one (n_shingles × n_hashes) broadcastted permutation."""
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), np.uint64(_MERSENNE))
+    x = shingle_hashes[:, None] % np.uint64(_MERSENNE)
+    perm = (x * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return perm.min(axis=0)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """id → banded MinHash signature rows (id, band, bucket). Signature
+    computation is a vectorized pandas UDF (Arrow batches); band bucketing
+    hashes r=2 signature rows per band."""
+    a_p, b_p = _hash_params(MINHASH_N)
+    r = MINHASH_N // MINHASH_BANDS
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            grams = list({f"{words[i]} {words[i+1]}" for i in range(len(words) - 1)})
+            sig = _minhash_sig(_fnv1a_bytes(grams), a_p, b_p)
+            out.append(sig.view(np.int64).tolist())
+        return pd.Series(out)
+
+    sigs = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                lambda bi: F.xxhash64(F.slice(F.col("sig"), bi * r + 1, r).cast("string"), bi),
+            )
+        ).alias("band", "bucket"),
+    )
+    return bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, threshold: float = 0.4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: banded bucket equi-join
+    proposes candidates (the only shuffle that scales with corpus size);
+    an exact Jaccard join verifies them, so output = exact pairs ∩
+    candidates. With b=64/r=2 recall at s≥0.4 is ≈1, which the DuckDB
+    oracle (exact Jaccard SQL) checks end-to-end."""
+    bands = minhash_signatures(df, text_col, id_col)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                JACCARD_ROUND,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit bands; Hamming ≤ 3 ⇒ at least one band matches
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word FNV hashes — bit-vote accumulation is one
+    (n_words × 64) vectorized matmul per document batch."""
+
+    @F.pandas_udf("long")
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").lower().split()
+            if not words:
+                out[i] = 0
+                continue
+            hs = _fnv1a_bytes(words)
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            sig = np.bitwise_or.reduce(np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0)))
+            out[i] = np.int64(sig.astype(np.uint64).view(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit band
+    blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands identical)."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_w) - 1
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), bi * band_w).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for bi in range(SIMHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

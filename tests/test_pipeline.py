@@ -1,0 +1,206 @@
+"""Training-data pipeline operators: dedup, similarity, textops, multimodal.
+
+Each deterministic operator is checked against its colocated DuckDB oracle
+SQL (the same comparison the driver's correctness gate runs); approximate
+operators (SimHash, LSH-ANN) are checked for determinism + recall against
+their exact counterparts.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_oracle_match(spark_df, ddb, sql: str):
+    got = _norm(spark_df.toPandas())
+    want = _norm(ddb.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        gv, wv = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(np.asarray(gv).dtype, np.floating) or np.issubdtype(np.asarray(wv).dtype, np.floating):
+            np.testing.assert_allclose(gv.astype(float), wv.astype(float), rtol=0, atol=1e-9, err_msg=c)
+        else:
+            assert (gv == wv).all(), f"column {c} mismatch"
+
+
+# ------------------------------------------------------------------ textops
+
+def test_token_counts_oracle(docs, ddb):
+    from parquet_spark.pipeline import textops
+
+    assert_oracle_match(textops.token_counts(docs), ddb, textops.token_counts_oracle())
+
+
+def test_quality_scores_oracle(docs, ddb):
+    from parquet_spark.pipeline import textops
+
+    assert_oracle_match(textops.quality_scores(docs), ddb, textops.quality_scores_oracle())
+
+
+def test_language_id_oracle(docs, ddb):
+    from parquet_spark.pipeline import textops
+
+    assert_oracle_match(textops.language_id(docs), ddb, textops.language_id_oracle())
+
+
+def test_fingerprints_oracle(docs, ddb):
+    from parquet_spark.pipeline import textops
+
+    assert_oracle_match(textops.fingerprints(docs), ddb, textops.fingerprints_oracle())
+
+
+# -------------------------------------------------------------------- dedup
+
+def test_dedup_exact_oracle(docs, ddb):
+    from parquet_spark.pipeline import dedup
+
+    assert_oracle_match(dedup.dedup_exact(docs), ddb, dedup.dedup_exact_oracle())
+
+
+def test_dedup_exact_finds_injected_dupes(spark):
+    from parquet_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_dupes"] for r in dedup.dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_oracle(docs, ddb):
+    from parquet_spark.pipeline import dedup
+
+    assert_oracle_match(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.2), ddb, dedup.ngram_jaccard_oracle(threshold=0.2)
+    )
+
+
+def test_minhash_matches_exact_jaccard(spark, docs, ddb):
+    """b=64/r=2 recall at the threshold is ~1 − verified output must equal
+    the exact operator's pairs."""
+    from parquet_spark.pipeline import dedup
+
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.4).toPandas()
+    want = ddb.execute(dedup.ngram_jaccard_oracle(threshold=0.4)).df()
+    assert_oracle_match_frames(got, want)
+
+
+def assert_oracle_match_frames(got: pd.DataFrame, want: pd.DataFrame):
+    g, w = _norm(got), _norm(want)
+    assert len(g) == len(w)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if np.issubdtype(np.asarray(gv).dtype, np.floating):
+            np.testing.assert_allclose(gv.astype(float), wv.astype(float), atol=1e-9)
+        else:
+            assert (gv == wv).all()
+
+
+def test_simhash_deterministic_and_self_dup(spark):
+    from parquet_spark.pipeline import dedup
+
+    base = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base + " ending one"),
+         (2, base + " ending two"),
+         (3, " ".join(f"other{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    sigs1 = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    sigs2 = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    assert sigs1 == sigs2  # deterministic
+    pairs = dedup.simhash_pairs(df, max_hamming=5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # one-word difference → small hamming
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+# --------------------------------------------------------------- similarity
+
+def test_knn_bruteforce_oracle(emb, ddb):
+    from parquet_spark.pipeline import similarity
+
+    assert_oracle_match(
+        similarity.knn_bruteforce(emb, k=5, n_queries=10), ddb,
+        similarity.knn_bruteforce_oracle(k=5, n_queries=10),
+    )
+
+
+def test_near_dup_oracle(emb, ddb):
+    from parquet_spark.pipeline import similarity
+
+    assert_oracle_match(
+        similarity.near_dup_pairs(emb, threshold=0.3), ddb,
+        similarity.near_dup_oracle(threshold=0.3),
+    )
+
+
+def test_knn_lsh_recall(emb):
+    from parquet_spark.pipeline import similarity
+
+    exact = similarity.knn_bruteforce(emb, k=5, n_queries=10).toPandas()
+    approx = similarity.knn_lsh(emb, k=5, n_queries=10, dim=64).toPandas()
+    e = {(r.q_id, r.n_id) for r in exact.itertuples()}
+    a = {(r.q_id, r.n_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+# --------------------------------------------------------------- multimodal
+
+def test_media_features_oracle(docs, ddb):
+    from parquet_spark.pipeline import multimodal
+
+    assert_oracle_match(
+        multimodal.media_features(docs), ddb, multimodal.media_features_oracle()
+    )
+
+
+def test_decode_media_stub():
+    from parquet_spark.pipeline import multimodal
+
+    assert list(multimodal.decode_media(b"abc", "raw")) == [97, 98, 99]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\xff\xd8", "jpeg")
+
+
+def test_frame_sample_plumbing(spark, docs):
+    from parquet_spark.pipeline import multimodal
+
+    media = multimodal.attach_media(docs.limit(20))
+    out = multimodal.frame_sample(media, every_n=7).toPandas()
+    assert len(out) == 20
+    assert (out["n_frames"] > 0).all()
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out.itertuples():
+        assert bytes(r.frames) == src[r.media_id][::7]
