@@ -119,7 +119,10 @@ def sequences_df(spark, n_rows: int, seed: int = 42, n_partitions: int | None = 
     per = (n_rows + n_partitions - 1) // n_partitions
     bounds = [(i * per, min((i + 1) * per, n_rows)) for i in range(n_partitions)]
     bounds = [b for b in bounds if b[1] > b[0]]
-    bdf = spark.createDataFrame(bounds, "start long, end long").repartition(len(bounds), "start")
+    # one bound per RDD partition: the generator is born partitioned, no
+    # Exchange in the plan (matters: encode must be a single-shuffle job)
+    rdd = spark.sparkContext.parallelize(bounds, len(bounds))
+    bdf = spark.createDataFrame(rdd, "start long, end long")
 
     def gen(batches):
         for batch in batches:

@@ -1,0 +1,120 @@
+"""Streaming ingestion → encoded table: continuous encode of arriving
+sequence micro-batches.
+
+The reference has no streaming surface (SURVEY.md §2.5), so this is pure
+new capability: `readStream` sources feed the SAME batch encode operators
+through `foreachBatch` — one code path for batch and streaming, which is
+the idiomatic Structured Streaming pattern for sinks Spark doesn't ship
+(our manifest+blocks table layout).
+
+Each micro-batch appends:
+  data/batch=<id>/      encoded blocks (one parquet dir per micro-batch)
+  manifest/batch=<id>/  per-(bucket, block, column) metrics
+with exactly-once semantics delegated to the checkpoint: a replayed batch
+id overwrites its own directory instead of duplicating (idempotent sink,
+the standard foreachBatch recipe).
+
+At cluster scale the stream's salted repartition reuses a bucket plan
+computed once per `plan_refresh_batches` micro-batches (a plan per batch
+would re-aggregate the stream constantly; source skew drifts slowly).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_spark.operators.encode import (
+    DEFAULT_BLOCK_ROWS,
+    encode_table,
+    manifest_from_blocks,
+    write_snapshot,
+)
+from parquet_spark.operators.repartition import plan_salted_buckets, with_salted_bucket
+
+BUCKET_COL = "__bucket"
+
+
+class StreamingEncoder:
+    """foreachBatch sink: encode each micro-batch into the table layout.
+
+    Usage:
+        enc = StreamingEncoder(path, target_partitions=64)
+        q = (df_stream.writeStream.foreachBatch(enc)
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def __init__(
+        self,
+        path: str,
+        target_partitions: int = 64,
+        block_rows: int = DEFAULT_BLOCK_ROWS,
+        codecs: dict | None = None,
+        source_col: str = "source",
+        salt_key: str = "doc_id",
+        weight_col: str | None = "n_tok",
+        plan_refresh_batches: int = 10,
+    ) -> None:
+        self.path = path
+        self.target_partitions = target_partitions
+        self.block_rows = block_rows
+        self.codecs = codecs
+        self.source_col = source_col
+        self.salt_key = salt_key
+        self.weight_col = weight_col
+        self.plan_refresh_batches = plan_refresh_batches
+        self._plan = None
+        self._snapshot_written = False
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        columns = list(batch_df.columns)
+        if self._plan is None or (batch_id % self.plan_refresh_batches) == 0:
+            self._plan = plan_salted_buckets(
+                batch_df, self.target_partitions, self.source_col, self.weight_col
+            )
+        salted = with_salted_bucket(
+            batch_df, self._plan, self.source_col, self.salt_key, BUCKET_COL
+        )
+        n_buckets = self._plan[-1][1] + self._plan[-1][2] if self._plan else self.target_partitions
+        salted = salted.repartition(
+            min(n_buckets, self.target_partitions), BUCKET_COL
+        ).sortWithinPartitions(BUCKET_COL)
+        blocks = encode_table(
+            salted, columns=columns, block_rows=self.block_rows, codecs=self.codecs
+        )
+        # idempotent per-batch dirs: a checkpoint replay overwrites, never dups
+        data_dir = os.path.join(self.path, "data", f"batch={batch_id}")
+        blocks.write.mode("overwrite").parquet(data_dir)
+        spark = batch_df.sparkSession
+        data_df = spark.read.parquet(data_dir)
+        manifest_from_blocks(
+            data_df.select("bucket", "part_id", "block_id", "meta")
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            os.path.join(self.path, "manifest", f"batch={batch_id}")
+        )
+        if not self._snapshot_written:
+            write_snapshot(
+                self.path,
+                batch_df.schema.json(),
+                columns,
+                f"stream-{os.path.basename(self.path)}",
+                {"streaming": True, "block_rows": self.block_rows},
+            )
+            self._snapshot_written = True
+
+
+def read_encoded_stream_output(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Decode everything the stream has committed so far (batch view)."""
+    from parquet_spark.operators.decode import decode_table
+    from parquet_spark.operators.encode import read_snapshot
+    from pyspark.sql.types import StructType
+
+    snap = read_snapshot(path)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot.json under {path}")
+    schema = StructType.fromJson(snap["schema"])
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(path, "data"))
+    return decode_table(blocks, schema, columns)

@@ -1,0 +1,89 @@
+"""Structured Streaming encode: micro-batches land in the table layout and
+decode back bit-identically; a replayed batch id does not duplicate data."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    d = str(tmp_path / "stream_table")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _crc(df):
+    return df.agg(
+        F.sum(F.crc32(F.concat_ws(",", F.col("doc_id"), F.col("tokens").cast("string"))))
+    ).collect()[0][0]
+
+
+def test_stream_encode_roundtrip(spark, workdir, tmp_path):
+    from parquet_spark.sources.synth import sequences_df
+    from parquet_spark.streaming.encode_stream import (
+        StreamingEncoder,
+        read_encoded_stream_output,
+    )
+
+    src = sequences_df(spark, 3000, seed=11, n_partitions=4)
+    enc = StreamingEncoder(workdir, target_partitions=8)
+
+    # drive the foreachBatch sink directly with three micro-batches (the
+    # same call path writeStream uses; a rate-source run is exercised below)
+    batches = src.randomSplit([1.0, 1.0, 1.0], seed=5)
+    for i, b in enumerate(batches):
+        enc(b, i)
+
+    out = read_encoded_stream_output(spark, workdir)
+    assert out.count() == 3000
+    assert _crc(out) == _crc(src)
+
+    # replay batch 1 (checkpoint recovery path): no duplication
+    enc(batches[1], 1)
+    out2 = read_encoded_stream_output(spark, workdir)
+    assert out2.count() == 3000
+    assert _crc(out2) == _crc(src)
+
+
+def test_stream_with_real_writestream(spark, workdir, tmp_path):
+    from parquet_spark.streaming.encode_stream import (
+        StreamingEncoder,
+        read_encoded_stream_output,
+    )
+
+    # rate source → shape into the sequences schema → encode sink
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .select(
+            F.concat(F.lit("doc-"), F.col("value")).alias("doc_id"),
+            F.array_repeat((F.col("value") % 100).cast("int"), 5).alias("tokens"),
+            F.lit(5).cast("int").alias("n_tok"),
+            F.concat(F.lit("src"), (F.col("value") % 3)).alias("source"),
+        )
+    )
+    enc = StreamingEncoder(workdir, target_partitions=4)
+    q = (
+        stream.writeStream.foreachBatch(enc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and not enc._snapshot_written:
+            time.sleep(0.5)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert enc._snapshot_written, "stream never delivered a non-empty batch"
+    out = read_encoded_stream_output(spark, workdir)
+    assert out.count() > 0
+    assert out.columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert out.filter(F.size("tokens") != 5).count() == 0
