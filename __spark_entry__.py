@@ -109,6 +109,28 @@ def _q_roundtrip_auto_all(spark, sf_dir):
     return _roundtrip(df)
 
 
+def _q_roundtrip_nested_struct(spark, sf_dir):
+    """Nested struct + repeated group through the block tree (the engine's
+    Dremel-shredding replacement): pack lineitem fields into a struct and a
+    list, round-trip, then project the leaves back for the SQL oracle."""
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.struct("l_partkey", "l_returnflag").alias("s"),
+            F.array("l_quantity", "l_extendedprice").alias("a"),
+        )
+    )
+    rt = _roundtrip(df)
+    return rt.select(
+        "l_orderkey", "l_linenumber",
+        F.col("s.l_partkey").alias("l_partkey"),
+        F.col("s.l_returnflag").alias("l_returnflag"),
+        F.col("a")[0].alias("l_quantity"),
+        F.col("a")[1].alias("l_extendedprice"),
+    )
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -229,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_bool": _q_roundtrip_bool,
         "roundtrip_timestamps": _q_roundtrip_timestamps,
         "roundtrip_auto_all": _q_roundtrip_auto_all,
+        "roundtrip_nested_struct": _q_roundtrip_nested_struct,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -263,6 +286,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_timestamps": "SELECT event_id, ts FROM events",
         "roundtrip_auto_all": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus FROM lineitem"
+        ),
+        "roundtrip_nested_struct": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, "
+            "l_quantity, l_extendedprice FROM lineitem"
         ),
         "stats_minmax_nulls": (
             "SELECT min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity, "

@@ -52,6 +52,7 @@ _DTYPES = {
     "float32": 8, "float64": 9, "bool": 10,
     "string": 11, "binary": 12, "list": 13,
     "timestamp_us": 14, "date32": 15, "large_string": 16,
+    "struct": 17,
 }
 _DTYPE_NAMES = {v: k for k, v in _DTYPES.items()}
 
@@ -93,6 +94,8 @@ def _arrow_dtype_name(typ: pa.DataType) -> str:
         return "bool"
     if pa.types.is_list(typ):
         return "list"
+    if pa.types.is_struct(typ):
+        return "struct"
     if pa.types.is_float32(typ):
         return "float32"
     if pa.types.is_float64(typ):
@@ -222,6 +225,18 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
         child_block = encode_array(flat, codec=codec, compression=compression)
         body = struct.pack("<BII", CODEC_IDS[len_codec], len(len_body), len(child_block)) + len_body + child_block
         codec_name, comp = "plain", "none"
+    elif dt_name == "struct":
+        # vectorized Dremel shredding (reference dremel/read.go:10-42,
+        # read_repeated.go:62-118): each leaf field becomes its own
+        # recursively-encoded child block with an independent codec choice;
+        # nesting depth lives in the block tree, not in def/rep levels
+        parts = []
+        for i, f in enumerate(typ):
+            child_block = encode_array(dense.field(i), codec=codec, compression=compression)
+            name_b = f.name.encode()
+            parts.append(struct.pack("<HI", len(name_b), len(child_block)) + name_b + child_block)
+        body = struct.pack("<H", typ.num_fields) + b"".join(parts)
+        codec_name, comp = "plain", "none"
     elif dt_name in ("string", "large_string", "binary"):
         sa = dense
         if dt_name == "large_string":
@@ -269,7 +284,7 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             comp = compression if compression is not None else "none"
 
     raw = validity + body
-    if compression is None and comp == "none" and len(raw) > 512 and dt_name != "list":
+    if compression is None and comp == "none" and len(raw) > 512 and dt_name not in ("list", "struct"):
         # trial general compression on top of any codec (lists skip it:
         # their child blocks already made their own compression choice)
         comp = "zstd"
@@ -313,6 +328,19 @@ def decode_array(buf: bytes | memoryview) -> pa.Array:
         offsets = np.zeros(n_dense + 1, dtype=np.int32)
         np.cumsum(lens, out=offsets[1:])
         dense = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+        return _scatter_nulls(dense, mask, n)
+    if dt_name == "struct":
+        (n_fields,) = struct.unpack_from("<H", body, 0)
+        p = 2
+        names, children = [], []
+        for _ in range(n_fields):
+            name_len, child_len = struct.unpack_from("<HI", body, p)
+            p += 6
+            names.append(bytes(body[p : p + name_len]).decode())
+            p += name_len
+            children.append(decode_array(memoryview(body)[p : p + child_len]))
+            p += child_len
+        dense = pa.StructArray.from_arrays(children, names=names)
         return _scatter_nulls(dense, mask, n)
     if dt_name in ("string", "large_string", "binary"):
         offsets, data = _decode_string_body(body, n_dense, codec_name)
@@ -371,6 +399,22 @@ def describe(buf: bytes | memoryview) -> dict:
         "n": n,
         "enc_bytes": _HEADER.size + body_len,
     }
+    if _DTYPE_NAMES[dt_id] == "struct":
+        raw = _decompress(_COMPRESSION_NAMES[comp_id], bytes(mv[_HEADER.size : _HEADER.size + body_len]), raw_len)
+        pos = ((n + 7) // 8) if flags & FLAG_VALIDITY else 0
+        (n_fields,) = struct.unpack_from("<H", raw, pos)
+        p = pos + 2
+        fields = {}
+        for _ in range(n_fields):
+            name_len, child_len = struct.unpack_from("<HI", raw, p)
+            p += 6
+            fname = bytes(raw[p : p + name_len]).decode()
+            p += name_len
+            fields[fname] = describe(memoryview(raw)[p : p + child_len])
+            p += child_len
+        out["fields"] = fields
+        out["codec"] = "struct<" + ",".join(f"{k}:{v['codec']}" for k, v in fields.items()) + ">"
+        return out
     if _DTYPE_NAMES[dt_id] == "list":
         raw = _decompress(_COMPRESSION_NAMES[comp_id], bytes(mv[_HEADER.size : _HEADER.size + body_len]), raw_len)
         pos = ((n + 7) // 8) if flags & FLAG_VALIDITY else 0

@@ -9,11 +9,20 @@ also makes it the resumable-checkpoint key (operators/encode.py).
 
 The per-source table is tiny (≈ distinct sources) and is broadcast; nothing
 here scales with row count except the one distributed agg.
+
+`source_col` / `salt_key` / `weight_col` accept any column expression a
+DataFrame can resolve — flat names, dotted struct paths (`info.source`),
+or SQL expressions. If the source or weight column doesn't resolve, the
+planner degrades to unweighted hash bucketing instead of failing (the skew
+defense is an optimization, not a correctness requirement).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.utils import AnalysisException
+
+_SRC = "__src"
 
 
 def plan_salted_buckets(
@@ -23,16 +32,24 @@ def plan_salted_buckets(
     weight_col: str | None = "n_tok",
 ) -> list[tuple[str, int, int]]:
     """Returns [(source, bucket_offset, n_salts)]; total buckets ≈
-    target_partitions, proportional to per-source weight."""
-    w = F.sum(weight_col).alias("w") if weight_col else F.count("*").alias("w")
-    rows = df.groupBy(source_col).agg(w).collect()
-    rows.sort(key=lambda r: r[source_col])
-    total = sum(r["w"] for r in rows) or 1
+    target_partitions, proportional to per-source weight. A single
+    [(None, 0, target_partitions)] entry means "no usable source column —
+    hash everything uniformly"."""
+    try:
+        w = F.sum(F.expr(weight_col)).alias("w") if weight_col else F.count("*").alias("w")
+        rows = df.groupBy(F.expr(source_col).cast("string").alias(_SRC)).agg(w).collect()
+    except AnalysisException:
+        if weight_col is not None:
+            # weight column missing -> retry with row counts
+            return plan_salted_buckets(df, target_partitions, source_col, None)
+        return [(None, 0, target_partitions)]
+    rows.sort(key=lambda r: (r[_SRC] is None, r[_SRC]))
+    total = sum(r["w"] for r in rows if r["w"] is not None) or 1
     plan: list[tuple[str, int, int]] = []
     offset = 0
     for r in rows:
-        k = max(1, round(target_partitions * r["w"] / total))
-        plan.append((r[source_col], offset, k))
+        k = max(1, round(target_partitions * (r["w"] or 0) / total))
+        plan.append((r[_SRC], offset, k))
         offset += k
     return plan
 
@@ -47,11 +64,30 @@ def with_salted_bucket(
     """Attach the deterministic bucket id: offset(source) +
     pmod(xxhash64(salt_key), n_salts(source))."""
     spark = df.sparkSession
-    plan_df = spark.createDataFrame(plan, f"{source_col} string, __offset int, __k int")
+    try:
+        df.select(F.expr(salt_key))
+        salt = F.xxhash64(F.expr(salt_key))
+    except AnalysisException:
+        salt = F.xxhash64(*[F.col(c) for c in df.columns])
+    if len(plan) == 1 and plan[0][0] is None:
+        # unweighted fallback: uniform hash over target buckets
+        return df.withColumn(bucket_col, F.pmod(salt, F.lit(plan[0][2])).cast("int"))
+    n_buckets = plan[-1][1] + plan[-1][2]
+    plan_df = spark.createDataFrame(plan, f"{_SRC} string, __offset int, __k int")
+    left = df.withColumn(_SRC, F.expr(source_col).cast("string"))
+    # null-safe left join: null sources and sources unseen by the plan
+    # (e.g. new data on a resumed table) still get a deterministic bucket
     out = (
-        df.join(F.broadcast(plan_df), source_col)
-        .withColumn(bucket_col, (F.col("__offset") + F.pmod(F.xxhash64(salt_key), F.col("__k"))).cast("int"))
-        .drop("__offset", "__k")
+        left.join(F.broadcast(plan_df), left[_SRC].eqNullSafe(plan_df[_SRC]), "left")
+        .drop(plan_df[_SRC])
+        .withColumn(
+            bucket_col,
+            F.coalesce(
+                (F.col("__offset") + F.pmod(salt, F.col("__k"))).cast("int"),
+                F.pmod(salt, F.lit(n_buckets)).cast("int"),
+            ),
+        )
+        .drop(_SRC, "__offset", "__k")
     )
     return out
 
