@@ -127,6 +127,12 @@ def main() -> None:
     pq_bytes = dir_bytes(pq_path)
     extras["parquet_bytes_per_token"] = pq_bytes / n_tokens
     extras["size_ratio_vs_parquet"] = enc_bytes / pq_bytes
+    # >1 means the engine's full encode (salt shuffle + codecs + manifest)
+    # is faster than Spark's own parquet-snappy write of the same columns —
+    # the local proxy for "matches-or-beats the reference writer"
+    extras["speed_ratio_vs_parquet_write"] = (
+        timings["parquet_write_baseline"] / timings["encode_sequences"]
+    )
 
     # ---- q4/q5: engine round-trips over driver tables (auto codec chooser)
     from __spark_entry__ import queries

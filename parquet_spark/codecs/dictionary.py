@@ -25,7 +25,23 @@ from parquet_spark.util import bit_length
 
 
 def encode_numeric(arr: np.ndarray) -> bytes:
-    keys, inv = np.unique(arr, return_inverse=True)
+    if len(arr) >= 1 << 16:
+        # hash-based unique (arrow) beats sort-based np.unique ~4x on large
+        # blocks; remap its first-occurrence codes onto sorted-key order so
+        # the key page stays sorted (decode relies on nothing, but sorted
+        # keys make clustered values yield monotone, RLE-friendly indices)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        d = pc.dictionary_encode(pa.array(arr))
+        raw_keys = np.asarray(d.dictionary)
+        order = np.argsort(raw_keys, kind="stable")
+        keys = raw_keys[order]
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        inv = rank[np.asarray(d.indices, dtype=np.int64)]
+    else:
+        keys, inv = np.unique(arr, return_inverse=True)
     width = max(1, bit_length(len(keys) - 1)) if len(keys) else 1
     key_page = plain.encode_numeric(keys)
     idx = rle.encode(inv.astype(np.uint64, copy=False), width)

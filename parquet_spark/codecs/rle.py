@@ -28,6 +28,12 @@ from parquet_spark.util import leb128_decode, leb128_encode
 
 MIN_RLE_RUN = 8  # same threshold as the reference (rle.go:50-56)
 
+# Emission walks regions in a Python loop; data with pathologically many
+# short runs (e.g. bursty token streams) would otherwise cost O(runs)
+# interpreter time for marginal size gain. Keeping only the longest runs
+# bounds the loop — long runs carry nearly all the RLE savings.
+MAX_RLE_REGIONS = 4096
+
 
 def _value_bytes(value: int, width: int) -> bytes:
     nbytes = (width + 7) // 8
@@ -65,7 +71,12 @@ def encode(vals: np.ndarray, width: int) -> bytes:
         lens = np.diff(np.concatenate((starts, [n])))
         rvals = v[starts]
         pos = 0
-        for i in np.flatnonzero(lens >= MIN_RLE_RUN):
+        qual = np.flatnonzero(lens >= MIN_RLE_RUN)
+        if len(qual) > MAX_RLE_REGIONS:
+            qlens = lens[qual]
+            thr = int(np.partition(qlens, len(qual) - MAX_RLE_REGIONS)[len(qual) - MAX_RLE_REGIONS])
+            qual = qual[qlens >= max(thr, MIN_RLE_RUN)]
+        for i in qual:
             s, ln = int(starts[i]), int(lens[i])
             if s < pos:  # head of this run was borrowed into the previous region
                 ln -= pos - s

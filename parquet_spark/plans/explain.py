@@ -42,6 +42,14 @@ def _plan_for_array(arr: pa.Array) -> dict:
         inner["codec"] = f"list<{inner['codec']}>"
         inner["reason"] = "per-list lengths + child values; " + inner["reason"]
         return inner
+    if pa.types.is_struct(typ):
+        subs = {typ.field(i).name: _plan_for_array(dense.field(i)) for i in range(typ.num_fields)}
+        return {
+            "codec": "struct<" + ",".join(f"{k}:{v['codec']}" for k, v in subs.items()) + ">",
+            "reason": "one child block per leaf field, each with its own codec",
+            "est_bytes_per_value": round(sum(v["est_bytes_per_value"] for v in subs.values()), 2),
+            "ndv_sample": None, "mean_run": None,
+        }
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         sa = dense.cast(pa.string()) if pa.types.is_large_string(typ) else dense
         buffers = sa.buffers()
