@@ -56,6 +56,9 @@ def string_stats(offsets: np.ndarray, data: np.ndarray) -> dict:
     if n <= 0:
         return {"n": 0, "ndv": 0, "avg_len": 0.0, "total_bytes": 0}
     lens = np.diff(offsets)
+    if int(offsets[-1] - offsets[0]) == 0:
+        # every string is empty — nothing to hash
+        return {"n": n, "ndv": 1, "sample_n": n, "avg_len": 0.0, "total_bytes": 0}
     take = min(n, SAMPLE_TARGET)
     stride = max(1, n // take)
     idx = np.arange(0, n, stride)[:take]
