@@ -148,14 +148,29 @@ def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _fnv1a_bytes(tokens: list[str]) -> np.ndarray:
-    """Vectorized FNV-1a 64-bit over a list of shingle strings."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):  # outer loop over shingles of ONE doc
-        h = np.uint64(0xCBF29CE484222325)
-        for c in t.encode():
-            h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    """FNV-1a 64-bit over many strings, vectorized column-parallel: one
+    numpy pass per byte POSITION over a (n_strings,) lane, never a Python
+    loop over strings or bytes. Identical output to the scalar FNV-1a."""
+    import pyarrow as pa
+
+    arr = tokens if isinstance(tokens, pa.Array) else pa.array(tokens, pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32, n + 1, offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(int(lens.max()) if n else 0):
+        valid = lens > j
+        if not valid.any():
+            break
+        c = np.zeros(n, dtype=np.uint64)
+        c[valid] = data[starts[valid] + j]
+        h = np.where(valid, (h ^ c) * prime, h)
+    return h
 
 
 def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -177,13 +192,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     @F.pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
+        # flatten the whole Arrow batch's shingles, hash them in ONE
+        # vectorized FNV pass, then per-doc signature = segment-min over
+        # the (shingles × hashes) permutation matrix (np.minimum.reduceat);
+        # docs chunked to bound the matrix at ~100 MB
+        grams_per_doc: list[list[str]] = []
         for t in texts:
             words = (t or "").lower().split()
-            grams = list({f"{words[i]} {words[i+1]}" for i in range(len(words) - 1)})
-            sig = _minhash_sig(_fnv1a_bytes(grams), a_p, b_p)
-            out.append(sig.view(np.int64).tolist())
-        return pd.Series(out)
+            grams_per_doc.append(list({f"{words[i]} {words[i+1]}" for i in range(len(words) - 1)}))
+        n_docs = len(grams_per_doc)
+        sigs = np.full((n_docs, MINHASH_N), np.uint64(_MERSENNE), dtype=np.uint64)
+        chunk = 512
+        m = np.uint64(_MERSENNE)
+        for c0 in range(0, n_docs, chunk):
+            docs = grams_per_doc[c0 : c0 + chunk]
+            lens = np.array([len(g) for g in docs], dtype=np.int64)
+            flat: list[str] = [g for doc in docs for g in doc]
+            if not flat:
+                continue
+            x = _fnv1a_bytes(flat) % m
+            perm = (x[:, None] * a_p[None, :] + b_p[None, :]) % m
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            nonempty = np.flatnonzero(lens > 0)
+            mins = np.minimum.reduceat(perm, bounds[:-1][nonempty], axis=0)
+            sigs[c0 + nonempty] = mins
+        return pd.Series(sigs.view(np.int64).tolist())
 
     sigs = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
     bands = sigs.select(
@@ -244,19 +277,27 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     @F.pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
+        # flatten the batch's words, one vectorized FNV pass, then per-doc
+        # bit votes via np.add.reduceat over the (words × 64) bit matrix
         shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").lower().split()
-            if not words:
-                out[i] = 0
+        words_per_doc = [(t or "").lower().split() for t in texts]
+        n_docs = len(words_per_doc)
+        out = np.zeros(n_docs, dtype=np.int64)
+        chunk = 1024
+        for c0 in range(0, n_docs, chunk):
+            docs = words_per_doc[c0 : c0 + chunk]
+            lens = np.array([len(w) for w in docs], dtype=np.int64)
+            flat = [w for doc in docs for w in doc]
+            if not flat:
                 continue
-            hs = _fnv1a_bytes(words)
+            hs = _fnv1a_bytes(flat)
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            sig = np.bitwise_or.reduce(np.where(votes > 0, np.uint64(1) << shifts, np.uint64(0)))
-            out[i] = np.int64(sig.astype(np.uint64).view(np.int64))
+            votes_all = 2 * bits - 1
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            nonempty = np.flatnonzero(lens > 0)
+            votes = np.add.reduceat(votes_all, bounds[:-1][nonempty], axis=0)
+            sigs = np.where(votes > 0, np.uint64(1) << shifts[None, :], np.uint64(0))
+            out[c0 + nonempty] = np.bitwise_or.reduce(sigs, axis=1).view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
