@@ -56,14 +56,69 @@ def decode_table(blocks_df: DataFrame, schema: StructType, columns: list[str] | 
     return proj.mapInArrow(_decode_fn(list(columns), out_schema), out_schema)
 
 
-def read_encoded(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+_PRUNE_OPS = {">", ">=", "<", "<=", "=", "=="}
+
+
+def _block_keep_condition(col: str, op: str, value):
+    """Can a block with [vmin, vmax] contain a row satisfying (col op value)?
+    Blocks without stats (null vmin) are always kept — pruning is an
+    optimization, never a correctness filter."""
+    from pyspark.sql import functions as F
+
+    vmin, vmax = F.col(f"_min_{col}"), F.col(f"_max_{col}")
+    lit = F.lit(value)
+    if op == ">":
+        cond = vmax > lit
+    elif op == ">=":
+        cond = vmax >= lit
+    elif op == "<":
+        cond = vmin < lit
+    elif op == "<=":
+        cond = vmin <= lit
+    else:  # = / ==
+        cond = (vmin <= lit) & (vmax >= lit)
+    return cond | vmin.isNull()
+
+
+def read_encoded(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    where: tuple | None = None,
+) -> DataFrame:
     """Open an encoded table (data + snapshot) and return the decoded
-    DataFrame — the engine's `spark.read.parquet` analogue."""
+    DataFrame — the engine's `spark.read.parquet` analogue.
+
+    `where=(column, op, value)` with op in {>, >=, <, <=, =} prunes whole
+    blocks by their min/max statistics BEFORE decode — and because the
+    stats are plain typed columns of the blocks parquet, Catalyst pushes
+    the range predicate into the scan (PushedFilters) and parquet
+    row-group stats skip the payload IO entirely, the analogue of the
+    reference's page-statistics metadata (/root/reference/parquet.go:
+    164-169) actually being *consumed*. The exact row-level filter is
+    applied after decode, so results equal decode-then-filter."""
+    from pyspark.sql import functions as F
+
     snap = read_snapshot(path)
     if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
     blocks_df = spark.read.parquet(os.path.join(path, "data"))
+    if where is not None:
+        col, op, value = where
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"where op {op!r} not in {sorted(_PRUNE_OPS)}")
+        if col not in {f.name for f in schema.fields}:
+            raise KeyError(f"where column {col!r} not in encoded table")
+        cols = columns or [f.name for f in schema.fields]
+        if col not in cols:
+            cols = list(cols) + [col]
+        if f"_min_{col}" in blocks_df.columns:
+            blocks_df = blocks_df.where(_block_keep_condition(col, op, value))
+        decoded = decode_table(blocks_df, schema, cols)
+        expr = {"==": "="}.get(op, op)
+        out = decoded.where(f"`{col}` {expr} {value!r}" if isinstance(value, str) else f"`{col}` {expr} {value}")
+        return out.select(*(columns or [f.name for f in schema.fields]))
     return decode_table(blocks_df, schema, columns)
 
 

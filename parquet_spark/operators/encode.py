@@ -45,14 +45,33 @@ DEFAULT_BLOCK_ROWS = 16384
 MANIFEST_DDL = (
     "bucket int, part_id int, block_id long, column string, codec string, "
     "compression string, n_values long, n_nulls long, raw_bytes long, "
-    "enc_bytes long, crc long"
+    "enc_bytes long, crc long, vmin string, vmax string"
 )
 
+# leaf types that get per-block min/max stats (the reference writes these
+# per page into DataPageHeader.Statistics, /root/reference/parquet.go:164-169
+# and gen/template_required.go:71-113; here they are ALSO top-level typed
+# columns of the blocks parquet so Catalyst pushes range predicates into the
+# scan and parquet row-group stats skip the heavy payload IO entirely)
+_STATS_SPARK_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp",
+}
 
-def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool):
+
+def _stats_cols(schema) -> list[str]:
+    return [
+        f.name for f in schema.fields
+        if f.dataType.simpleString() in _STATS_SPARK_TYPES
+    ]
+
+
+def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool, stats_cols: list[str] | None = None):
     codec_overrides = codec_overrides or {}
+    stats_cols = stats_cols or []
 
     def fn(batches):
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         from parquet_spark.codecs import blocks as blk
@@ -66,6 +85,7 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
             n = tbl.num_rows
             bucket = int(tbl.column(BUCKET_COL)[0].as_py()) if has_bucket and n else -1
             payloads = []
+            stat_arrays = []
             metas = {}
             for col in columns:
                 arr = tbl.column(col).combine_chunks()
@@ -74,7 +94,7 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                 payload = blk.encode_array(arr, codec=codec_overrides.get(col), compression=compression)
                 raw_bytes = arr.nbytes
                 info = blk.describe(payload)
-                metas[col] = {
+                meta = {
                     "codec": info["codec"],
                     "compression": info["compression"],
                     "n_values": n,
@@ -83,16 +103,31 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                     "enc_bytes": len(payload),
                     "crc": zlib.crc32(payload) & 0xFFFFFFFF,
                 }
+                if col in stats_cols:
+                    mm = pc.min_max(arr)
+                    vmin, vmax = mm["min"], mm["max"]
+                    stat_arrays.append(pa.array([vmin.as_py()], arr.type))
+                    stat_arrays.append(pa.array([vmax.as_py()], arr.type))
+                    meta["vmin"] = str(vmin.as_py()) if vmin.is_valid else None
+                    meta["vmax"] = str(vmax.as_py()) if vmax.is_valid else None
+                metas[col] = meta
                 payloads.append(payload)
-            arrays = [
-                pa.array([pid], pa.int32()),
-                pa.array([block_id], pa.int64()),
-                pa.array([bucket], pa.int32()),
-                pa.array([n], pa.int32()),
-                pa.array([json.dumps(metas)], pa.string()),
-            ] + [pa.array([p], pa.binary()) for p in payloads]
+            arrays = (
+                [
+                    pa.array([pid], pa.int32()),
+                    pa.array([block_id], pa.int64()),
+                    pa.array([bucket], pa.int32()),
+                    pa.array([n], pa.int32()),
+                    pa.array([json.dumps(metas)], pa.string()),
+                ]
+                + [pa.array([p], pa.binary()) for p in payloads]
+                + stat_arrays
+            )
+            stat_names = [x for c in columns if c in stats_cols for x in (f"_min_{c}", f"_max_{c}")]
             block_id += 1
-            return pa.RecordBatch.from_arrays(arrays, names=["part_id", "block_id", "bucket", "n_rows", "meta"] + columns)
+            return pa.RecordBatch.from_arrays(
+                arrays, names=["part_id", "block_id", "bucket", "n_rows", "meta"] + columns + stat_names
+            )
 
         pending: list[pa.RecordBatch] = []
         n_pending = 0
@@ -141,17 +176,22 @@ def encode_table(
     inside one mapInArrow stage per partition when the result is consumed."""
     has_bucket = BUCKET_COL in df.columns
     columns = columns or [c for c in df.columns if c != BUCKET_COL]
-    out_ddl = "part_id int, block_id long, bucket int, n_rows int, meta string, " + ", ".join(
-        f"`{c}` binary" for c in columns
+    type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    stats_cols = [c for c in columns if type_of.get(c) in _STATS_SPARK_TYPES]
+    out_ddl = (
+        "part_id int, block_id long, bucket int, n_rows int, meta string, "
+        + ", ".join(f"`{c}` binary" for c in columns)
+        + "".join(f", `_min_{c}` {type_of[c]}, `_max_{c}` {type_of[c]}" for c in stats_cols)
     )
-    return df.mapInArrow(_encode_fn(columns, block_rows, codecs, compression, has_bucket), out_ddl)
+    return df.mapInArrow(_encode_fn(columns, block_rows, codecs, compression, has_bucket, stats_cols), out_ddl)
 
 
 def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
     """Explode the per-block meta JSON into the manifest relation."""
     meta_schema = (
         "map<string, struct<codec:string, compression:string, n_values:long, "
-        "n_nulls:long, raw_bytes:long, enc_bytes:long, crc:long>>"
+        "n_nulls:long, raw_bytes:long, enc_bytes:long, crc:long, "
+        "vmin:string, vmax:string>>"
     )
     m = blocks_df.select(
         "bucket", "part_id", "block_id", F.explode(F.from_json("meta", meta_schema)).alias("column", "s")
@@ -165,6 +205,8 @@ def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
         F.col("s.raw_bytes").alias("raw_bytes"),
         F.col("s.enc_bytes").alias("enc_bytes"),
         F.col("s.crc").alias("crc"),
+        F.col("s.vmin").alias("vmin"),
+        F.col("s.vmax").alias("vmax"),
     )
 
 

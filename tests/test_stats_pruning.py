@@ -1,0 +1,101 @@
+"""Per-block min/max statistics (reference page-statistics analogue,
+parquet.go:164-169) and stats-backed block pruning on decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_blocks_carry_typed_minmax(spark):
+    from parquet_spark.operators.encode import encode_table
+    from parquet_spark.sources.synth import sequences_df
+
+    df = sequences_df(spark, 3000, seed=5, n_partitions=2)
+    blocks = encode_table(df)
+    row = blocks.select("_min_n_tok", "_max_n_tok", "_min_doc_id", "_max_doc_id").first()
+    assert row["_min_n_tok"] <= row["_max_n_tok"]
+    assert row["_min_doc_id"] <= row["_max_doc_id"]
+
+
+def test_manifest_carries_vmin_vmax(spark, tmp_path):
+    from parquet_spark.operators.decode import read_manifest
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "t")
+    write_encoded(sequences_df(spark, 2000, seed=5, n_partitions=2), path, target_partitions=4, resume=False)
+    m = read_manifest(spark, path).where("column = 'n_tok'")
+    r = m.select(F.min("vmin").isNotNull().alias("has_min"), F.min("vmax").isNotNull().alias("has_max")).first()
+    assert r["has_min"] and r["has_max"]
+
+
+def test_block_pruning_skips_blocks(spark):
+    from parquet_spark.operators.decode import _block_keep_condition
+    from parquet_spark.operators.encode import encode_table
+    from parquet_spark.sources.synth import sequences_df
+
+    # `row` is monotone within each generated partition, so small blocks
+    # have tight, disjoint ranges — the clustered case pruning is built for
+    df = sequences_df(spark, 20000, seed=5, n_partitions=2).withColumn(
+        "row", F.substring("doc_id", 7, 12).cast("long")
+    )
+    blocks = encode_table(df, block_rows=2048).cache()
+    total = blocks.count()
+    kept = blocks.where(_block_keep_condition("row", ">", 17000)).count()
+    assert kept < total, (kept, total)
+    blocks.unpersist()
+
+
+def test_where_equals_decode_then_filter(spark, tmp_path):
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "t2")
+    df = sequences_df(spark, 4000, seed=6, n_partitions=2)
+    write_encoded(df, path, target_partitions=4, resume=False)
+    want = sorted(
+        r["doc_id"] for r in read_encoded(spark, path).where("n_tok > 400").select("doc_id").collect()
+    )
+    got = sorted(r["doc_id"] for r in read_encoded(spark, path, where=("n_tok", ">", 400)).select("doc_id").collect())
+    assert got == want and len(got) > 0
+    # projection + where on a column outside the projection
+    got2 = read_encoded(spark, path, columns=["doc_id"], where=("n_tok", ">", 400))
+    assert got2.columns == ["doc_id"]
+    assert sorted(r["doc_id"] for r in got2.collect()) == want
+    # string predicate
+    w_src = sorted(
+        r["doc_id"] for r in read_encoded(spark, path).where("source = 'src0'").select("doc_id").collect()
+    )
+    g_src = sorted(
+        r["doc_id"]
+        for r in read_encoded(spark, path, columns=["doc_id"], where=("source", "=", "src0")).collect()
+    )
+    assert g_src == w_src
+
+
+def test_where_predicate_is_pushed_to_scan(spark, tmp_path):
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "t3")
+    write_encoded(sequences_df(spark, 2000, seed=7, n_partitions=2), path, target_partitions=4, resume=False)
+    plan = read_encoded(spark, path, where=("n_tok", ">", 100))._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "_max_n_tok" in pushed[0], plan
+
+
+def test_where_bad_inputs(spark, tmp_path):
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "t4")
+    write_encoded(sequences_df(spark, 500, seed=8, n_partitions=1), path, target_partitions=2, resume=False)
+    with pytest.raises(KeyError):
+        read_encoded(spark, path, where=("nope", ">", 1))
+    with pytest.raises(ValueError):
+        read_encoded(spark, path, where=("n_tok", "!=", 1))

@@ -96,10 +96,13 @@ from parquet_spark.sources.synth import sequences_df
 from parquet_spark.operators.encode import encode_table
 seq = spark.read.parquet({INPUT_DIR!r})
 n_tokens = seq.agg(F.sum("n_tok")).collect()[0][0]
-encode_table(sequences_df(spark, 2000, seed=1, n_partitions={cpus})).write.format("noop").mode("overwrite").save()
-t0 = time.perf_counter()
-write_encoded(seq, work + "/encoded", target_partitions=64, resume=False)
-dt = time.perf_counter() - t0
+# warm the FULL path incl. the parquet sink (first write pays JIT/codegen)
+write_encoded(sequences_df(spark, 2000, seed=1, n_partitions={cpus}), work + "/warm", target_partitions={cpus}, resume=False)
+dt = 1e9
+for _ in range(2):
+    t0 = time.perf_counter()
+    write_encoded(seq, work + "/encoded", target_partitions=64, resume=False)
+    dt = min(dt, time.perf_counter() - t0)
 enc_bytes = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(work + "/encoded/data") for f in fs if not f.endswith(".crc") and f != "_SUCCESS")
 print(json.dumps(dict(sec=dt, n_tokens=int(n_tokens), enc_bytes=enc_bytes)))
 spark.stop(); shutil.rmtree(work, ignore_errors=True)
