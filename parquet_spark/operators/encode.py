@@ -258,10 +258,13 @@ def write_encoded(
     source_col: str = "source",
     salt_key: str = "doc_id",
     weight_col: str | None = "n_tok",
+    cluster_col: str | None = None,
 ) -> dict:
     """Full encode pipeline: salted repartition → encode → data + manifest +
     snapshot. Resumable: re-running after a partial failure anti-joins the
     completed buckets out of the input and appends only the missing ones.
+    `cluster_col` orders rows within each bucket so blocks carry tight
+    min/max ranges on that column (see read_encoded(where=...)).
 
     Returns a summary dict (buckets encoded/skipped, manifest path)."""
     spark = df.sparkSession
@@ -271,7 +274,8 @@ def write_encoded(
         target_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
     salted, n_buckets = salted_repartition(
-        df, target_partitions, source_col=source_col, salt_key=salt_key, weight_col=weight_col
+        df, target_partitions, source_col=source_col, salt_key=salt_key,
+        weight_col=weight_col, cluster_col=cluster_col,
     )
 
     skipped = 0

@@ -99,11 +99,22 @@ def salted_repartition(
     salt_key: str = "doc_id",
     weight_col: str | None = "n_tok",
     bucket_col: str = "__bucket",
+    cluster_col: str | None = None,
 ) -> tuple[DataFrame, int]:
     """repartition(P, bucket) + sortWithinPartitions(bucket) so each encode
     task sees whole buckets contiguously (blocks never straddle buckets —
-    the property the resumable checkpoint relies on)."""
+    the property the resumable checkpoint relies on).
+
+    `cluster_col` additionally orders rows by that column INSIDE each
+    bucket: bucket contiguity (the resume key) is untouched, but
+    consecutive blocks get tight disjoint min/max ranges on the cluster
+    column, which is what makes stats-backed block pruning
+    (read_encoded(where=...)) skip real IO on range predicates."""
     plan = plan_salted_buckets(df, target_partitions, source_col, weight_col)
     n_buckets = plan[-1][1] + plan[-1][2] if plan else target_partitions
     out = with_salted_bucket(df, plan, source_col, salt_key, bucket_col)
-    return out.repartition(min(n_buckets, target_partitions), bucket_col).sortWithinPartitions(bucket_col), n_buckets
+    sort_cols = [bucket_col] + ([cluster_col] if cluster_col else [])
+    return (
+        out.repartition(min(n_buckets, target_partitions), bucket_col).sortWithinPartitions(*sort_cols),
+        n_buckets,
+    )

@@ -99,3 +99,27 @@ def test_where_bad_inputs(spark, tmp_path):
         read_encoded(spark, path, where=("nope", ">", 1))
     with pytest.raises(ValueError):
         read_encoded(spark, path, where=("n_tok", "!=", 1))
+
+
+def test_cluster_col_makes_pruning_effective(spark, tmp_path):
+    """With cluster_col, blocks inside each bucket carry tight disjoint
+    ranges, so a selective range predicate prunes most block rows."""
+    from parquet_spark.operators.decode import _block_keep_condition, read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "tc")
+    # ~20 buckets (>=1 per source) x many 512-row blocks; the predicate's
+    # rows live in ~1 block per bucket, so kept ~= n_buckets << n_blocks
+    df = sequences_df(spark, 60000, seed=9, n_partitions=4)
+    write_encoded(df, path, target_partitions=4, block_rows=512, resume=False, cluster_col="n_tok")
+    blocks = spark.read.parquet(path + "/data").cache()
+    total = blocks.count()
+    hi = df.agg(F.expr("percentile_approx(n_tok, 0.98)")).collect()[0][0]
+    kept = blocks.where(_block_keep_condition("n_tok", ">", int(hi))).count()
+    assert kept < total / 2, (kept, total)
+    # and results still exact
+    want = df.where(f"n_tok > {int(hi)}").count()
+    got = read_encoded(spark, path, where=("n_tok", ">", int(hi))).count()
+    assert got == want
+    blocks.unpersist()
