@@ -194,3 +194,31 @@ def test_struct_per_leaf_codec_choice():
     out, buf = rt(arr)
     assert out.equals(arr)
     assert len(buf) < arr.nbytes / 3  # each leaf independently compressed
+
+
+def test_dremel_paper_document_example():
+    """The canonical Document r1/r2 from the Dremel paper (reference golden
+    levels at /root/reference/cmd/parquetgen/dremel/dremel_test.go:53-87,
+    schema testcases/doc/doc.go:5-24): repeated group inside repeated group
+    with optional leaves — here the nesting lives in the recursive block
+    tree instead of def/rep level vectors, and must round-trip exactly."""
+    lang = pa.struct([("code", pa.string()), ("country", pa.string())])
+    name = pa.struct([("languages", pa.list_(lang)), ("url", pa.string())])
+    doc = pa.struct([("doc_id", pa.int64()), ("links", pa.struct([("backward", pa.list_(pa.int64())), ("forward", pa.list_(pa.int64()))])), ("names", pa.list_(name))])
+    r1 = {
+        "doc_id": 10,
+        "links": {"backward": [], "forward": [20, 40, 60]},
+        "names": [
+            {"languages": [{"code": "en-us", "country": "us"}, {"code": "en", "country": None}], "url": "http://A"},
+            {"languages": [], "url": "http://B"},
+            {"languages": [{"code": "en-gb", "country": "gb"}], "url": None},
+        ],
+    }
+    r2 = {
+        "doc_id": 20,
+        "links": {"backward": [10, 30], "forward": [80]},
+        "names": [{"languages": [], "url": "http://C"}],
+    }
+    arr = pa.array([r1, r2], doc)
+    out, _ = rt(arr)
+    assert out.equals(arr)
