@@ -131,6 +131,26 @@ def _q_roundtrip_nested_struct(spark, sf_dir):
     )
 
 
+def _q_roundtrip_pruned_read(spark, sf_dir):
+    """Stats-backed block pruning through the full table layout: encode
+    orders (clustered on o_totalprice), read back with a range predicate
+    that skips whole blocks by their min/max — results must equal the
+    plain SQL filter (the oracle)."""
+    import tempfile
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="psq-pruned-") + "/t"
+    write_encoded(
+        df, path, target_partitions=8, block_rows=2048, resume=False,
+        source_col="o_orderkey % 4", salt_key="o_orderkey", weight_col=None,
+        cluster_col="o_totalprice",
+    )
+    return read_encoded(spark, path, where=("o_totalprice", ">", 150000.0))
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -252,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_timestamps": _q_roundtrip_timestamps,
         "roundtrip_auto_all": _q_roundtrip_auto_all,
         "roundtrip_nested_struct": _q_roundtrip_nested_struct,
+        "roundtrip_pruned_read": _q_roundtrip_pruned_read,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -290,6 +311,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_nested_struct": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, "
             "l_quantity, l_extendedprice FROM lineitem"
+        ),
+        "roundtrip_pruned_read": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 150000.0"
         ),
         "stats_minmax_nulls": (
             "SELECT min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity, "
