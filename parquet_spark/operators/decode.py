@@ -24,36 +24,54 @@ from pyspark.sql.types import StructType
 from parquet_spark.operators.encode import read_snapshot
 
 
-def _decode_fn(columns: list[str], spark_schema: StructType):
-    arrow_schema_fields = [f.name for f in spark_schema.fields]
-
+def _decode_fn(columns: list[str], spark_schema: StructType, verify: bool = False):
     def fn(batches):
+        import json as _json
+        import zlib
+
         from parquet_spark.codecs import blocks as blk
 
         for b in batches:
             if b.num_rows == 0:
                 continue
             for row in range(b.num_rows):
+                meta = _json.loads(b.column("meta")[row].as_py()) if verify else None
                 arrays = []
                 for col in columns:
                     payload = b.column(col)[row].as_py()
+                    if verify:
+                        want = meta.get(col, {}).get("crc")
+                        got = zlib.crc32(payload) & 0xFFFFFFFF
+                        if want is not None and got != want:
+                            raise ValueError(
+                                f"checksum mismatch decoding column {col!r}: "
+                                f"crc32 {got:#010x} != manifest {want:#010x} "
+                                "(corrupt or tampered block payload)"
+                            )
                     arrays.append(blk.decode_array(payload))
                 yield pa.RecordBatch.from_arrays(arrays, names=columns)
 
     return fn
 
 
-def decode_table(blocks_df: DataFrame, schema: StructType, columns: list[str] | None = None) -> DataFrame:
+def decode_table(
+    blocks_df: DataFrame,
+    schema: StructType,
+    columns: list[str] | None = None,
+    verify: bool = False,
+) -> DataFrame:
     """Blocks DataFrame → original rows. `schema` is the original table
-    schema (from snapshot.json); projection via `columns`."""
+    schema (from snapshot.json); projection via `columns`. `verify=True`
+    checks each payload's crc32 against the block's recorded checksum
+    before decoding (integrity gate for untrusted storage)."""
     known = {f.name: f for f in schema.fields}
     columns = columns or [f.name for f in schema.fields]
     missing = [c for c in columns if c not in known]
     if missing:
         raise KeyError(f"column(s) {missing} not in encoded table; available: {sorted(known)}")
     out_schema = StructType([known[c] for c in columns])
-    proj = blocks_df.select(*columns)
-    return proj.mapInArrow(_decode_fn(list(columns), out_schema), out_schema)
+    proj = blocks_df.select(*(["meta"] + list(columns) if verify else columns))
+    return proj.mapInArrow(_decode_fn(list(columns), out_schema, verify), out_schema)
 
 
 _PRUNE_OPS = {">", ">=", "<", "<=", "=", "=="}
@@ -85,6 +103,7 @@ def read_encoded(
     path: str,
     columns: list[str] | None = None,
     where: tuple | None = None,
+    verify: bool = False,
 ) -> DataFrame:
     """Open an encoded table (data + snapshot) and return the decoded
     DataFrame — the engine's `spark.read.parquet` analogue.
@@ -115,11 +134,11 @@ def read_encoded(
             cols = list(cols) + [col]
         if f"_min_{col}" in blocks_df.columns:
             blocks_df = blocks_df.where(_block_keep_condition(col, op, value))
-        decoded = decode_table(blocks_df, schema, cols)
+        decoded = decode_table(blocks_df, schema, cols, verify=verify)
         expr = {"==": "="}.get(op, op)
         out = decoded.where(f"`{col}` {expr} {value!r}" if isinstance(value, str) else f"`{col}` {expr} {value}")
         return out.select(*(columns or [f.name for f in schema.fields]))
-    return decode_table(blocks_df, schema, columns)
+    return decode_table(blocks_df, schema, columns, verify=verify)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
