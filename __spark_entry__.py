@@ -71,6 +71,11 @@ def _q_roundtrip_forbp_ints(spark, sf_dir):
     return _roundtrip(df, codecs={"o_orderkey": "for_bp", "o_custkey": "for_bp"})
 
 
+def _q_roundtrip_delta_sorted(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return _roundtrip(df, codecs={"o_orderkey": "delta_bp"})
+
+
 def _q_roundtrip_fsst_text(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _roundtrip(df, codecs={"text": "fsst"})
@@ -265,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_dict_strings": _q_roundtrip_dict_strings,
         "roundtrip_rle_ints": _q_roundtrip_rle_ints,
         "roundtrip_forbp_ints": _q_roundtrip_forbp_ints,
+        "roundtrip_delta_sorted": _q_roundtrip_delta_sorted,
         "roundtrip_fsst_text": _q_roundtrip_fsst_text,
         "roundtrip_plain_floats": _q_roundtrip_plain_floats,
         "roundtrip_optional_nulls": _q_roundtrip_optional_nulls,
@@ -298,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_dict_strings": "SELECT event_id, event_type FROM events",
         "roundtrip_rle_ints": "SELECT l_orderkey, l_linenumber FROM lineitem",
         "roundtrip_forbp_ints": "SELECT o_orderkey, o_custkey FROM orders",
+        "roundtrip_delta_sorted": "SELECT o_orderkey, o_orderdate FROM orders",
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "roundtrip_plain_floats": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
         "roundtrip_optional_nulls": (

@@ -8,6 +8,7 @@ Codec ids (stable on-disk values, see blocks.py for the container format):
   3 dict        dictionary page + RLE/bit-packed indices (new vs reference)
   4 for_bp      frame-of-reference + bit-pack (new)
   5 fsst        FSST-style symbol-table string compression (new)
+  6 delta_bp    delta + zigzag + bit-pack for sorted/sequential data (new)
 """
 
 PLAIN = 0
@@ -16,6 +17,7 @@ RLE = 2
 DICT = 3
 FOR_BP = 4
 FSST = 5
+DELTA_BP = 6
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -24,5 +26,6 @@ CODEC_NAMES = {
     DICT: "dict",
     FOR_BP: "for_bp",
     FSST: "fsst",
+    DELTA_BP: "delta_bp",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}

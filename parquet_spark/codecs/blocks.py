@@ -29,6 +29,7 @@ import pyarrow as pa
 from parquet_spark.codecs import (
     CODEC_IDS,
     CODEC_NAMES,
+    delta,
     dictionary,
     forbp,
     fsst,
@@ -131,6 +132,8 @@ def _encode_ints(vals: np.ndarray, codec: str) -> bytes:
         u = vals.astype(np.uint64)
         width = bit_length(int(u.max())) if len(u) else 0
         return struct.pack("<B", width) + bitpack_mod.pack(u, width)
+    if codec == "delta_bp":
+        return delta.encode(vals)
     raise ValueError(f"codec {codec} not valid for ints")
 
 
@@ -151,6 +154,8 @@ def _decode_ints(buf: bytes, n: int, dtype: np.dtype, codec: str) -> np.ndarray:
     if codec == "bitpack":
         (width,) = struct.unpack_from("<B", buf, 0)
         return bitpack_mod.unpack(memoryview(buf)[1:], n, width).astype(dtype, copy=False)
+    if codec == "delta_bp":
+        return delta.decode(buf, n, dtype)
     raise ValueError(f"codec {codec} not valid for ints")
 
 

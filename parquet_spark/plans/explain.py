@@ -27,6 +27,8 @@ def _int_reason(st: dict, codec: str, itemsize: int) -> str:
     width = bit_length(int(st["vmax"]) - int(st["vmin"]))
     if codec == "for_bp":
         return f"range fits {width} bits after min-subtract (vs {itemsize * 8} plain)"
+    if codec == "delta_bp":
+        return f"sorted/sequential: zigzag deltas fit {st.get('zz_width', 0)} bits"
     if codec == "rle":
         return f"mean run {st['mean_run']:.1f} >= 4 collapses runs"
     if codec == "dict":
@@ -100,7 +102,7 @@ def _plan_for_array(arr: pa.Array) -> dict:
     width = bit_length(int(st["vmax"]) - int(st["vmin"])) if st["n"] else 0
     est = {"plain": float(vals.itemsize), "for_bp": width / 8.0,
            "rle": 3.0 / max(st["mean_run"], 1.0), "dict": max(1, bit_length(max(st["ndv"] - 1, 1))) / 8.0,
-           "bitpack": width / 8.0}[codec]
+           "bitpack": width / 8.0, "delta_bp": st.get("zz_width", 0) / 8.0}[codec]
     return {"codec": codec, "reason": _int_reason(st, codec, vals.itemsize),
             "est_bytes_per_value": round(est, 3), "ndv_sample": st["ndv"],
             "mean_run": round(st["mean_run"], 2)}

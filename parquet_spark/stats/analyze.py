@@ -41,7 +41,7 @@ def block_stats(vals: np.ndarray) -> dict:
     else:
         vmin, vmax = float(np.nanmin(vals)) if n else 0.0, float(np.nanmax(vals)) if n else 0.0
     ndv = int(len(np.unique(s)))
-    return {
+    out = {
         "n": n,
         "ndv": ndv,
         "sample_n": ns,
@@ -49,6 +49,16 @@ def block_stats(vals: np.ndarray) -> dict:
         "vmin": vmin,
         "vmax": vmax,
     }
+    if kind in "iu" and n > 1:
+        # zigzag-delta width over the CONTIGUOUS prefix (stride samples
+        # break adjacency) — drives the delta_bp codec for sorted data
+        pref = vals[: min(n, 2048)]
+        u = pref.astype(np.int64, copy=False).view(np.uint64) if kind == "i" else pref.astype(np.uint64, copy=False)
+        d = (u[1:] - u[:-1]).view(np.int64)
+        zz = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+        m = int(zz.max()) if len(zz) else 0
+        out["zz_width"] = int(m).bit_length()
+    return out
 
 
 def string_stats(offsets: np.ndarray, data: np.ndarray) -> dict:

@@ -27,6 +27,10 @@ def choose_int_codec(stats: dict, itemsize: int) -> str:
         # hybrid, so model as a blend
         run_cost = _RLE_RUN_BYTES / mean_run
         costs["rle"] = min(run_cost, width_for / 8.0) + 0.05
+    zz = stats.get("zz_width")
+    if zz is not None and zz <= 32:
+        # sorted / sequential data: deltas narrower than the FOR range
+        costs["delta_bp"] = zz / 8.0 + 0.03
     ndv, sample_n = stats.get("ndv", n), stats.get("sample_n", n)
     if ndv < 0.5 * sample_n:
         # extrapolate ndv to the block conservatively (sampled ndv is a floor)

@@ -50,5 +50,7 @@ def test_explain_reasons_are_populated(spark):
     plan = {p["column"]: p for p in explain_encode(df)}
     assert all(p["reason"] for p in plan.values())
     assert plan["low_card"]["codec"] in ("dict", "for_bp", "rle")
-    assert plan["narrow_range"]["codec"] == "for_bp"
+    # sequential narrow-range ints: delta_bp (2-bit zigzag deltas) now
+    # beats for_bp (14-bit offsets); either is a sound choice
+    assert plan["narrow_range"]["codec"] in ("for_bp", "delta_bp")
     assert plan["flag"]["codec"] == "plain" and plan["flag"]["est_bytes_per_value"] == 0.125
