@@ -312,7 +312,10 @@ def decode_array(buf: bytes | memoryview) -> pa.Array:
         raise ValueError("bad block magic")
     codec_name = CODEC_NAMES[codec_id]
     dt_name = _DTYPE_NAMES[dt_id]
-    raw = _decompress(_COMPRESSION_NAMES[comp_id], bytes(mv[_HEADER.size : _HEADER.size + body_len]), raw_len)
+    body_mv = mv[_HEADER.size : _HEADER.size + body_len]
+    comp_name = _COMPRESSION_NAMES[comp_id]
+    # uncompressed bodies stay zero-copy views; decompressors copy anyway
+    raw = body_mv if comp_name == "none" else _decompress(comp_name, bytes(body_mv), raw_len)
 
     mask = None
     pos = 0

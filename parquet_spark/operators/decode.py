@@ -38,7 +38,9 @@ def _decode_fn(columns: list[str], spark_schema: StructType, verify: bool = Fals
                 meta = _json.loads(b.column("meta")[row].as_py()) if verify else None
                 arrays = []
                 for col in columns:
-                    payload = b.column(col)[row].as_py()
+                    # zero-copy view into the Arrow buffer (as_py() would
+                    # memcpy every multi-MB payload before decode)
+                    payload = memoryview(b.column(col)[row].as_buffer())
                     if verify:
                         want = meta.get(col, {}).get("crc")
                         got = zlib.crc32(payload) & 0xFFFFFFFF
