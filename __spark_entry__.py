@@ -86,6 +86,16 @@ def _q_roundtrip_plain_floats(spark, sf_dir):
     return _roundtrip(df, codecs={"l_extendedprice": "plain"})
 
 
+def _q_roundtrip_alp_decimal_floats(spark, sf_dir):
+    """Price-like doubles (2 decimals) auto-select the ALP codec: exact
+    10^e mantissas + int codec; the oracle is the identity, proving the
+    rescale is bit-lossless."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return _roundtrip(df)
+
+
 def _q_roundtrip_optional_nulls(spark, sf_dir):
     df = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -273,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_delta_sorted": _q_roundtrip_delta_sorted,
         "roundtrip_fsst_text": _q_roundtrip_fsst_text,
         "roundtrip_plain_floats": _q_roundtrip_plain_floats,
+        "roundtrip_alp_decimal_floats": _q_roundtrip_alp_decimal_floats,
         "roundtrip_optional_nulls": _q_roundtrip_optional_nulls,
         "roundtrip_bool": _q_roundtrip_bool,
         "roundtrip_timestamps": _q_roundtrip_timestamps,
@@ -307,6 +318,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_delta_sorted": "SELECT o_orderkey, o_orderdate FROM orders",
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "roundtrip_plain_floats": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+        "roundtrip_alp_decimal_floats": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax FROM lineitem"
+        ),
         "roundtrip_optional_nulls": (
             "SELECT event_id, CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v FROM events"
         ),

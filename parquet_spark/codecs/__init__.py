@@ -9,6 +9,9 @@ Codec ids (stable on-disk values, see blocks.py for the container format):
   4 for_bp      frame-of-reference + bit-pack (new)
   5 fsst        FSST-style symbol-table string compression (new)
   6 delta_bp    delta + zigzag + bit-pack for sorted/sequential data (new)
+  7 alp         ALP-style decimal floats: exact 10^e rescale to int64 +
+                any int codec (new; Afroozeh & Boncz, "ALP: Adaptive
+                Lossless floating-Point compression", SIGMOD 2023)
 """
 
 PLAIN = 0
@@ -18,6 +21,7 @@ DICT = 3
 FOR_BP = 4
 FSST = 5
 DELTA_BP = 6
+ALP = 7
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -27,5 +31,6 @@ CODEC_NAMES = {
     FOR_BP: "for_bp",
     FSST: "fsst",
     DELTA_BP: "delta_bp",
+    ALP: "alp",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}

@@ -29,6 +29,7 @@ import pyarrow as pa
 from parquet_spark.codecs import (
     CODEC_IDS,
     CODEC_NAMES,
+    alp,
     delta,
     dictionary,
     forbp,
@@ -273,16 +274,27 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             vals = np.asarray(dense, dtype=npdt)
         kind = np.dtype(npdt).kind
         if kind == "f":
-            # dict on bit patterns (bit-exact for NaN payloads); else plain
+            # ALP first (decimal floats -> exact int mantissas, then the
+            # full int-codec arsenal); dict on bit patterns (bit-exact for
+            # NaN payloads); else plain
+            e_alp = alp.find_exponent(vals) if codec in (None, "alp") else None
             st = analyze.block_stats(vals.view(np.uint32 if vals.itemsize == 4 else np.uint64))
-            codec_name = codec or chooser.choose_float_codec(st)
-            if codec_name == "dict":
-                body = dictionary.encode_numeric(vals.view(np.uint32 if vals.itemsize == 4 else np.uint64))
-                comp = "none"
+            if e_alp is not None:
+                ints = alp.mantissas(vals, e_alp)
+                int_codec = chooser.choose_int_codec(analyze.block_stats(ints), 8)
+                body = struct.pack("<BB", e_alp, CODEC_IDS[int_codec]) + _encode_ints(ints, int_codec)
+                codec_name, comp = "alp", "none"
+            elif codec == "alp":
+                raise ValueError("alp codec requested but block is not exactly decimal-representable")
             else:
-                codec_name = "plain"
-                body = plain.encode_numeric(vals)
-                comp = compression if compression is not None else ("zstd" if len(body) > 512 else "none")
+                codec_name = codec or chooser.choose_float_codec(st)
+                if codec_name == "dict":
+                    body = dictionary.encode_numeric(vals.view(np.uint32 if vals.itemsize == 4 else np.uint64))
+                    comp = "none"
+                else:
+                    codec_name = "plain"
+                    body = plain.encode_numeric(vals)
+                    comp = compression if compression is not None else ("zstd" if len(body) > 512 else "none")
         else:
             codec_name = codec or chooser.choose_int_codec(analyze.block_stats(vals), vals.itemsize)
             body = _encode_ints(vals, codec_name)
@@ -366,7 +378,11 @@ def decode_array(buf: bytes | memoryview) -> pa.Array:
 
     npdt = _NUMPY_OF[dt_name]
     kind = np.dtype(npdt).kind
-    if kind == "f" and codec_name == "dict":
+    if kind == "f" and codec_name == "alp":
+        e_alp, int_codec_id = struct.unpack_from("<BB", body, 0)
+        ints = _decode_ints(body[2:] if isinstance(body, bytes) else bytes(body[2:]), n_dense, np.int64, CODEC_NAMES[int_codec_id])
+        vals = alp.reconstruct(ints, e_alp, npdt)
+    elif kind == "f" and codec_name == "dict":
         uvals = dictionary.decode_numeric(body, n_dense, np.uint32 if np.dtype(npdt).itemsize == 4 else np.uint64)
         vals = uvals.view(npdt)
     else:

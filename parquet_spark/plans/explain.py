@@ -80,8 +80,16 @@ def _plan_for_array(arr: pa.Array) -> dict:
         return {"codec": "plain", "reason": "1 bit/value bitmap", "est_bytes_per_value": 0.125,
                 "ndv_sample": 2, "mean_run": None}
     if pa.types.is_floating(typ):
+        from parquet_spark.codecs import alp
+
         vals = np.asarray(dense)
         st = analyze.block_stats(vals.view(np.uint32 if vals.itemsize == 4 else np.uint64))
+        e_alp = alp.find_exponent(vals)
+        if e_alp is not None:
+            ints = alp.mantissas(vals, e_alp)
+            width = bit_length(int(ints.max()) - int(ints.min())) if len(ints) else 0
+            return {"codec": "alp", "reason": f"decimal floats: exact x10^{e_alp} mantissas fit {width} bits",
+                    "est_bytes_per_value": round(width / 8.0, 2), "ndv_sample": st["ndv"], "mean_run": None}
         codec = chooser.choose_float_codec(st)
         reason = (
             f"sampled ndv {st['ndv']} is low (dict over bit patterns)"
