@@ -222,3 +222,19 @@ def test_dremel_paper_document_example():
     arr = pa.array([r1, r2], doc)
     out, _ = rt(arr)
     assert out.equals(arr)
+
+
+def test_explicit_page_compressions_roundtrip():
+    """Reference page-compression parity (fields.go:404-435 snappy/gzip;
+    plus zstd/lz4 from pyarrow): explicit compression choices round-trip
+    and record themselves in the block header."""
+    from parquet_spark.codecs import blocks as blk
+
+    rng = np.random.default_rng(7)
+    arr = pa.array(rng.integers(0, 2**40, 20000).astype(np.int64))
+    for comp in ("snappy", "gzip", "zstd", "lz4", "none"):
+        buf = blk.encode_array(arr, codec="plain", compression=comp)
+        d = blk.describe(buf)
+        assert blk.decode_array(buf).equals(arr), comp
+        if comp != "none":
+            assert d["compression"] in (comp, "none"), d  # "none" if not worth it
