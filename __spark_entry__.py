@@ -337,15 +337,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice > 150000.0"
         ),
+        # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
+        # pandas renders as float64 and the driver hash then diverges from
+        # Spark's int64 even when every value agrees
         "stats_minmax_nulls": (
             "SELECT min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity, "
-            "sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity, "
+            "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity, "
             "min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice, "
-            "sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nulls_l_extendedprice, "
+            "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_extendedprice, "
             "min(l_linenumber) AS min_l_linenumber, max(l_linenumber) AS max_l_linenumber, "
-            "sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS nulls_l_linenumber, "
+            "CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_linenumber, "
             "min(l_returnflag) AS min_l_returnflag, max(l_returnflag) AS max_l_returnflag, "
-            "sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls_l_returnflag "
+            "CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_returnflag "
             "FROM lineitem"
         ),
         "stats_ndv": (
@@ -360,7 +363,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) IS NULL THEN 1 "
             "WHEN l_returnflag <> lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 "
             "ELSE 0 END AS chg FROM lineitem) "
-            "SELECT count(*) AS n_values, sum(chg) AS n_runs FROM runs"
+            "SELECT count(*) AS n_values, CAST(sum(chg) AS BIGINT) AS n_runs FROM runs"
         ),
         "stats_dict_estimate": (
             "SELECT count(event_type) AS n, count(DISTINCT event_type) AS ndv, "
@@ -369,7 +372,8 @@ def oracle_sql() -> dict[str, str]:
             "+ count(DISTINCT event_type) * 8 AS BIGINT) AS est_bytes FROM events"
         ),
         "stats_source_weights": (
-            "SELECT source, sum(n_chars) AS weight FROM documents GROUP BY source ORDER BY source"
+            "SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         **_pipeline_oracles(),
     }

@@ -75,8 +75,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "n_bytes": n,
                     "first_byte": first,
                     "last_byte": last,
+                    # pure float64 division (no rounding): IEEE division is
+                    # deterministic, so Spark and the DuckDB oracle agree
+                    # bit-for-bit; round() implementations would not
                     "byte_sum": tot,
-                    "mean_byte": np.round(tot / np.maximum(n, 1), 6),
+                    "mean_byte": tot / np.maximum(n, 1),
                 }
             )
 
@@ -88,14 +91,18 @@ def media_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def media_features_oracle(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
-    # byte stats over the UTF-8 payload, computed in SQL (ASCII corpus)
+    # byte stats over the UTF-8 payload, computed in SQL (ASCII corpus).
+    # list_sum over BIGINT returns HUGEINT (pandas float64) — CAST back to
+    # BIGINT so the driver value-hash sees the same int64 Spark emits; the
+    # mean is a bare double division (bit-deterministic, unlike round()).
     codes = f"list_transform(string_split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT))"
+    bsum = f"CAST(list_sum({codes}) AS BIGINT)"
     return (
-        f"SELECT {id_col} AS media_id, length({text_col}) AS n_bytes, "
-        f"ascii(substr({text_col}, 1, 1)) AS first_byte, "
-        f"ascii(substr({text_col}, length({text_col}), 1)) AS last_byte, "
-        f"list_sum({codes}) AS byte_sum, "
-        f"round(list_sum({codes}) / greatest(length({text_col}), 1), 6) AS mean_byte "
+        f"SELECT {id_col} AS media_id, CAST(length({text_col}) AS INTEGER) AS n_bytes, "
+        f"CASE WHEN length({text_col}) = 0 THEN -1 ELSE ascii(substr({text_col}, 1, 1)) END AS first_byte, "
+        f"CASE WHEN length({text_col}) = 0 THEN -1 ELSE ascii(substr({text_col}, length({text_col}), 1)) END AS last_byte, "
+        f"{bsum} AS byte_sum, "
+        f"CAST({bsum} AS DOUBLE) / greatest(length({text_col}), 1) AS mean_byte "
         f"FROM {table}"
     )
 

@@ -37,6 +37,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        # the driver's value hash distinguishes int from float (observed:
+        # DuckDB HUGEINT→float64 vs Spark int64 hash-mismatched in round 1
+        # while int32-vs-int64 matched) — treat kind mismatch as failure
+        kinds = {gv.dtype.kind, wv.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            errs.append(f"col {c}: dtype kind mismatch got {gv.dtype} want {wv.dtype} (driver hash diverges)")
+            continue
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             ok = np.array_equal(gv.astype(np.float64), wv.astype(np.float64), equal_nan=True)
         else:
