@@ -266,7 +266,9 @@ def _q_sim_near_dup(spark, sf_dir):
 def _q_sim_knn_lsh(spark, sf_dir):
     from parquet_spark.pipeline import similarity
 
-    return similarity.knn_lsh(_t(spark, sf_dir, "embeddings"), k=5, n_queries=10, dim=64)
+    # bits pinned (not adaptive) so the static oracle SQL embeds the same
+    # hyperplanes; production callers pass bits=None for corpus-sized width
+    return similarity.knn_lsh(_t(spark, sf_dir, "embeddings"), k=5, n_queries=10, dim=64, bits=4)
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -392,8 +394,13 @@ def _pipeline_oracles() -> dict[str, str]:
         # minhash_lsh verifies candidates with exact Jaccard; at b=64/r=2 its
         # recall at s>=0.4 is ~1, so the exact-Jaccard SQL is its oracle too.
         "dedup_minhash_lsh": dedup.ngram_jaccard_oracle(threshold=0.4),
-        # dedup_simhash / sim_knn_lsh: approximate, rows-only check (no SQL).
+        # SimHash is deterministic and band-blocking is recall-lossless
+        # (pigeonhole), so DuckDB recomputes the full FNV+vote+Hamming set.
+        "dedup_simhash": dedup.simhash_oracle(max_hamming=3),
         "sim_knn_bruteforce": similarity.knn_bruteforce_oracle(k=5, n_queries=10),
+        # knn_lsh: the oracle embeds the same hyperplanes and replicates the
+        # float64 fold, so the candidate set (and output) is bit-identical.
+        "sim_knn_lsh": similarity.knn_lsh_oracle(k=5, n_queries=10, dim=64, bits=4),
         "sim_near_dup": similarity.near_dup_oracle(threshold=0.3),
         "multimodal_features": multimodal.media_features_oracle(),
     }

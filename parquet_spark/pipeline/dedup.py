@@ -335,3 +335,41 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# SimHash is fully deterministic, so it has an exact SQL oracle: DuckDB
+# recomputes the 64-bit FNV-1a word hashes (HUGEINT fold mod 2^64 — a
+# literal 2^128 modulus would silently coerce the fold to DOUBLE), the
+# per-bit majority votes, and the Hamming-<=h pair set. Band blocking in
+# simhash_pairs is recall-lossless (pigeonhole), so the Spark output equals
+# this all-pairs SQL exactly.
+_FNV_SEED = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _fnv_fold_sql(word_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({_FNV_SEED} AS HUGEINT), "
+        f"list_transform(string_split({word_expr}, ''), c -> CAST(ascii(c) AS HUGEINT))), "
+        f"(h, c) -> (xor(h, c) * {_FNV_PRIME}) % {1 << 64})"
+    )
+
+
+def simhash_oracle(
+    table: str = "documents", max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    words = f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), x -> x <> '')"
+    vote = "list_sum(list_transform(lh, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))"
+    sig = (
+        "CAST(coalesce(list_sum(list_transform(generate_series(0, 63), i -> "
+        f"CASE WHEN {vote} > 0 THEN CAST(1 AS HUGEINT) << i ELSE CAST(0 AS HUGEINT) END)), 0) AS UBIGINT)"
+    )
+    return (
+        f"WITH w AS (SELECT {id_col} AS id, {words} AS wl FROM {table}), "
+        f"h AS (SELECT id, list_transform(wl, x -> {_fnv_fold_sql('x')}) AS lh FROM w), "
+        f"s AS (SELECT id, {sig} AS sig FROM h) "
+        f"SELECT a.id AS id_a, b.id AS id_b, "
+        f"CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming "
+        f"FROM s a JOIN s b ON a.id < b.id "
+        f"WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"
+    )

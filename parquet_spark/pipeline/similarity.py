@@ -145,29 +145,51 @@ def near_dup_oracle(
 
 # ----------------------------------------------------------------- LSH tier
 
-# P(query and neighbor collide in one table) = (1 - θ/π)^BITS; at θ≈60°
+# P(query and neighbor collide in one table) = (1 - θ/π)^bits; at θ≈60°
 # (cosine 0.5) that is (2/3)^4 ≈ 0.20 per table → 1-(1-0.2)^8 ≈ 0.83 recall
-# over 8 tables. BITS should grow ~log2(corpus/target_bucket_size) at scale.
+# over 8 tables. bits grows ~log2(corpus/target_bucket_size) at scale —
+# adaptive_lsh_bits derives it from the corpus size (pass bits=None).
 LSH_BITS = 4
 LSH_TABLES = 8
+LSH_TARGET_BUCKET = 128
 
 
-def _hyperplanes(dim: int, seed: int = 13) -> np.ndarray:
+def adaptive_lsh_bits(n_rows: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Hash width that keeps E[bucket size] ≈ target_bucket: at 10⁹ vectors
+    this gives 23 bits (≈120 rows/bucket) instead of a fixed 4 (62M/bucket,
+    which would re-quadratize the candidate join)."""
+    import math
+
+    return max(LSH_BITS, min(30, math.ceil(math.log2(max(n_rows, 1) / target_bucket))))
+
+
+def _hyperplanes(dim: int, bits: int = LSH_BITS, tables: int = LSH_TABLES, seed: int = 13) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((LSH_TABLES, LSH_BITS, dim)).astype(np.float32)
+    return rng.standard_normal((tables, bits, dim)).astype(np.float32)
 
 
-def lsh_buckets(df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, table, bucket) sign-bit buckets — one matmul per Arrow batch."""
-    planes = _hyperplanes(dim)
+def lsh_buckets(
+    df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int | None = None,
+) -> DataFrame:
+    """(id, table, bucket) sign-bit buckets. The projection is a float64
+    LEFT FOLD over dimensions (not einsum/BLAS, whose summation order is
+    implementation-defined) so the DuckDB oracle reproduces every sign bit
+    exactly. bits=None derives the hash width from the corpus size."""
+    if bits is None:
+        bits = adaptive_lsh_bits(df.count())
+    planes = _hyperplanes(dim, bits).astype(np.float64)  # (tables, bits, dim)
+    n_bits = bits
 
-    @F.pandas_udf("array<int>")
+    @F.pandas_udf("array<long>")
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
-        proj = np.einsum("bd,tkd->btk", m, planes)  # (batch, tables, bits)
-        bits = (proj > 0).astype(np.int32)
-        weights = (1 << np.arange(LSH_BITS, dtype=np.int32))
-        return pd.Series(list((bits * weights).sum(axis=2).astype(np.int32)))
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        proj = np.zeros((len(m), LSH_TABLES, n_bits))
+        for d in range(dim):  # sequential fold: acc += m[d] * plane[d]
+            proj += m[:, d, None, None] * planes[None, :, :, d]
+        bits_m = (proj > 0).astype(np.int64)
+        weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+        return pd.Series(list((bits_m * weights).sum(axis=2)))
 
     return df.select(
         F.col(id_col).alias("id"),
@@ -182,10 +204,12 @@ def knn_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bits: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket with the
-    query in ≥1 table; exact rescoring + window top-k on candidates only."""
-    buckets = lsh_buckets(df, dim, id_col, vec_col)
+    query in ≥1 table; exact rescoring + window top-k on candidates only.
+    bits=None sizes the hash width to the corpus (adaptive_lsh_bits)."""
+    buckets = lsh_buckets(df, dim, id_col, vec_col, bits=bits)
     qb = buckets.filter(F.col("id") < n_queries).withColumnRenamed("id", "q_id")
     cand = (
         buckets.join(qb, ["table", "bucket"])
@@ -205,4 +229,49 @@ def knn_lsh(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "sim", "rnk")
+    )
+
+
+def knn_lsh_oracle(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = 64,
+    bits: int = LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact SQL replica of knn_lsh: the hyperplane constants are embedded
+    (float32 planes printed as round-trip float64 decimals) and each
+    projection is the same left-to-right float64 term sum the UDF computes,
+    so every sign bit — hence the candidate set, hence the output — is
+    bit-identical. Generated SQL is large (~tables*bits*dim terms) but
+    that is the price of hash-exactness for a data-dependent bucketing."""
+    planes = _hyperplanes(dim, bits).astype(np.float64)  # (tables, bits, dim)
+
+    def proj_sql(t: int, b: int) -> str:
+        return " + ".join(
+            f"CAST({vec_col}[{d + 1}] AS DOUBLE) * {planes[t, b, d]!r}" for d in range(dim)
+        )
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj_sql(t, b)} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+        )
+
+    buckets = ", ".join(bucket_sql(t) for t in range(LSH_TABLES))
+    tbls = ", ".join(str(t) for t in range(LSH_TABLES))
+    sim = cosine_sql(f"qv.{vec_col}", f"nv.{vec_col}")
+    return (
+        f"WITH b AS (SELECT {id_col} AS id, unnest([{buckets}]) AS bucket, "
+        f"unnest([{tbls}]) AS tbl FROM {table}), "
+        f"qb AS (SELECT id AS q_id, tbl, bucket FROM b WHERE id < {n_queries}), "
+        f"cand AS (SELECT DISTINCT qb.q_id, b.id AS n_id FROM b JOIN qb "
+        f"USING (tbl, bucket) WHERE b.id <> qb.q_id), "
+        f"s AS (SELECT c.q_id, c.n_id, {sim} AS sim FROM cand c "
+        f"JOIN {table} qv ON qv.{id_col} = c.q_id "
+        f"JOIN {table} nv ON nv.{id_col} = c.n_id), "
+        f"r AS (SELECT q_id, n_id, sim, row_number() OVER "
+        f"(PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rnk FROM s) "
+        f"SELECT q_id, n_id, sim, rnk FROM r WHERE rnk <= {k}"
     )

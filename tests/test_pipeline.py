@@ -204,3 +204,36 @@ def test_frame_sample_plumbing(spark, docs):
     src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     for r in out.itertuples():
         assert bytes(r.frames) == src[r.media_id][::7]
+
+
+def test_simhash_oracle(docs, ddb):
+    """SimHash is deterministic → exact DuckDB oracle: FNV-1a word hashes,
+    bit votes, all-pairs Hamming ≤ 3 (band blocking is recall-lossless)."""
+    from parquet_spark.pipeline import dedup
+
+    assert_oracle_match(
+        dedup.simhash_pairs(docs, max_hamming=3), ddb, dedup.simhash_oracle(max_hamming=3)
+    )
+
+
+def test_knn_lsh_oracle(emb, ddb):
+    """The oracle embeds the hyperplanes and replicates the float64 fold,
+    so bucket bits — and the whole output — are bit-identical."""
+    from parquet_spark.pipeline import similarity
+
+    assert_oracle_match(
+        similarity.knn_lsh(emb, k=5, n_queries=10, dim=64, bits=4), ddb,
+        similarity.knn_lsh_oracle(k=5, n_queries=10, dim=64, bits=4),
+    )
+
+
+def test_adaptive_lsh_bits_scale():
+    from parquet_spark.pipeline.similarity import LSH_TARGET_BUCKET, adaptive_lsh_bits
+
+    assert adaptive_lsh_bits(1_000) == 4          # floor at the legacy width
+    assert adaptive_lsh_bits(10**6) == 13
+    assert adaptive_lsh_bits(10**9) == 23
+    # derived width keeps expected bucket size near the target at any n
+    for n in (10**5, 10**7, 10**9, 10**12):
+        bits = adaptive_lsh_bits(n)
+        assert bits == 30 or n / (1 << bits) <= LSH_TARGET_BUCKET
