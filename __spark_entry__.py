@@ -390,7 +390,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_language_id": textops.language_id_oracle(),
         "text_fingerprints": textops.fingerprints_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(threshold=0.2),
+        # "auto" replicates the default-on df cap (skew control) in SQL
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto"),
         # minhash_lsh verifies candidates with exact Jaccard; at b=64/r=2 its
         # recall at s>=0.4 is ~1, so the exact-Jaccard SQL is its oracle too.
         "dedup_minhash_lsh": dedup.ngram_jaccard_oracle(threshold=0.4),

@@ -83,53 +83,94 @@ def _shingle_words_sql(text_col: str) -> str:
     return f"string_split({NORMALIZE_SQL.format(c=text_col)}, ' ')"
 
 
+# default blocking cap: shingles in more than max(100, 5% of corpus)
+# documents are stop-bigrams, not dedup signal; one df=10⁶ shingle would
+# otherwise contribute 10¹² candidate pairs to the self-join
+MAX_DF_FLOOR = 100
+MAX_DF_FRAC = 0.05
+
+
+def _auto_max_df(n_docs: int) -> int:
+    import math
+
+    return max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRAC * n_docs))
+
+
+_AUTO_MAX_DF_SQL = (
+    f"greatest({MAX_DF_FLOOR}, CAST(ceil({MAX_DF_FRAC} * (SELECT count(*) FROM {{table}})) AS BIGINT))"
+)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
-    """Exact n-gram (word-bigram) Jaccard near-dup pairs via shingle
-    blocking: explode distinct shingles, equi-join on shingle, count shared
-    shingles per pair, compute |∩|/(|A|+|B|-|∩|). `max_df` drops
-    ultra-common shingles from *blocking only* when set (skew control at
-    scale); the Jaccard itself always uses the full shingle sets."""
+    """n-gram (word-bigram) Jaccard near-dup pairs: blocking proposes every
+    pair sharing ≥1 shingle with document frequency ≤ max_df (the skew cap
+    is DEFAULT-ON — "auto" derives it from the corpus size, matching
+    _auto_max_df / the oracle's subquery); an exact-Jaccard verify over the
+    FULL shingle sets then scores candidates, so reported jaccard values
+    are exact. max_df=None disables the cap (exact blocking, testing-scale
+    only: one stop-bigram with df=10⁶ would mean 10¹² candidate pairs)."""
     sh = df.select(F.col(id_col).alias("id"), _shingles(text_col).alias("sh")).withColumn(
         "n_sh", F.size("sh")
     )
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    if max_df == "auto":
+        max_df = _auto_max_df(df.count())
     if max_df is not None:
         hot = ex.groupBy("g").agg(F.count("*").alias("df_")).filter(F.col("df_") > max_df)
         ex = ex.join(F.broadcast(hot.select("g")), "g", "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count("*").alias("inter"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), JACCARD_ROUND)
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / (F.col("na") + F.col("nb") - F.size(F.array_intersect("sh_a", "sh_b"))),
+        JACCARD_ROUND,
+    )
     return (
-        pairs.withColumn("jaccard", jac)
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
 def ngram_jaccard_oracle(
-    table: str = "documents", threshold: float = 0.4, text_col: str = "text", id_col: str = "doc_id"
+    table: str = "documents",
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | str | None = None,
 ) -> str:
+    """Exact SQL replica. max_df=None is the pure all-shared-shingle-pairs
+    relation (the minhash verify oracle); "auto"/int replicates
+    ngram_jaccard_pairs' df-capped blocking with the same derivation."""
     w = _shingle_words_sql(text_col)
     sh = SHINGLES_SQL.format(w=w)
+    if max_df is None:
+        block = "e"
+    else:
+        cap = _AUTO_MAX_DF_SQL.format(table=table) if max_df == "auto" else str(max_df)
+        block = f"(SELECT e.* FROM e JOIN d USING (g) WHERE d.df_ <= {cap})"
+    jac = f"round(len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), {JACCARD_ROUND})"
     return (
         f"WITH s AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}), "
-        f"e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS g FROM s), "
-        f"p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, "
-        f"count(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.id < b.id "
-        f"GROUP BY 1, 2, 3, 4) "
-        f"SELECT id_a, id_b, round(inter / (na + nb - inter), {JACCARD_ROUND}) AS jaccard "
-        f"FROM p WHERE round(inter / (na + nb - inter), {JACCARD_ROUND}) >= {threshold}"
+        f"e AS (SELECT id, unnest(sh) AS g FROM s), "
+        f"d AS (SELECT g, count(*) AS df_ FROM e GROUP BY g), "
+        f"c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        f"FROM {block} a JOIN {block} b ON a.g = b.g AND a.id < b.id) "
+        f"SELECT c.id_a, c.id_b, {jac} AS jaccard "
+        f"FROM c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b "
+        f"WHERE {jac} >= {threshold}"
     )
 
 
@@ -268,7 +309,26 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 16-bit bands; Hamming ≤ 3 ⇒ at least one band matches
+SIMHASH_BANDS = 4  # legacy fixed blocking: 16-bit bands for Hamming ≤ 3
+SIMHASH_TARGET_BUCKET = 64
+
+
+def adaptive_simhash_blocks(n_rows: int, max_hamming: int = 3) -> int:
+    """Smallest block count B whose table keys are wide enough that
+    E[bucket size] ≈ SIMHASH_TARGET_BUCKET (Manku et al. 2007 style:
+    split 64 bits into B blocks, key each table on a (B-h)-block subset;
+    any pair within Hamming h leaves ≥ B-h blocks untouched, so ≥1 of the
+    C(B,h) tables collides — recall stays exactly 1). Fixed 16-bit bands
+    (B=4) cap at 65k buckets: at n=10⁹ that is ~15k docs/bucket and ~10¹³
+    candidate pairs per band; B=6 gives 30-bit keys instead."""
+    import math
+
+    h = max_hamming
+    need = math.ceil(math.log2(max(n_rows, 1) / SIMHASH_TARGET_BUCKET)) if n_rows > SIMHASH_TARGET_BUCKET else 1
+    for n_blocks in range(h + 1, 11):
+        if (n_blocks - h) * (SIMHASH_BITS // n_blocks) >= need:
+            return n_blocks
+    return 10  # C(10,3)=120 tables, 7*6=42-bit keys — the practical ceiling
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -303,20 +363,52 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
 
 
+def _simhash_block_layout(n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) for each of n_blocks contiguous bit blocks of 64."""
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 16-bit band
-    blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 bands identical)."""
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via block-subset
+    blocking: 64 bits split into n_blocks blocks, one table per
+    (n_blocks - max_hamming)-block combination. Pigeonhole makes recall
+    exactly 1 for every n_blocks > max_hamming, so the output is identical
+    for any blocking — only the bucket-size distribution changes.
+    n_blocks=None derives it from the corpus size (adaptive_simhash_blocks);
+    n_blocks = max_hamming + 1 reproduces the legacy single-block bands."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = adaptive_simhash_blocks(df.count(), max_hamming)
+    if n_blocks <= max_hamming:
+        raise ValueError(f"n_blocks={n_blocks} must exceed max_hamming={max_hamming}")
     sigs = simhash_signatures(df, text_col, id_col).cache()
-    band_w = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << band_w) - 1
+    layout = _simhash_block_layout(n_blocks)
+
+    def table_key(subset: tuple[int, ...]):
+        # concatenate the subset's blocks into one long key (left fold)
+        key = F.lit(0).cast("long")
+        for bi in subset:
+            shift, width = layout[bi]
+            blk = F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(F.lit((1 << width) - 1))
+            key = F.shiftleft(key, width).bitwiseOR(blk)
+        return key
+
     band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), bi * band_w).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for bi in range(SIMHASH_BANDS)
+        F.struct(F.lit(ti).alias("band"), table_key(subset).alias("bucket"))
+        for ti, subset in enumerate(combinations(range(n_blocks), n_blocks - max_hamming))
     ]
     bands = sigs.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")

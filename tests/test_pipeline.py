@@ -101,7 +101,8 @@ def test_ngram_jaccard_oracle(docs, ddb):
     from parquet_spark.pipeline import dedup
 
     assert_oracle_match(
-        dedup.ngram_jaccard_pairs(docs, threshold=0.2), ddb, dedup.ngram_jaccard_oracle(threshold=0.2)
+        dedup.ngram_jaccard_pairs(docs, threshold=0.2), ddb,
+        dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto"),
     )
 
 
@@ -237,3 +238,47 @@ def test_adaptive_lsh_bits_scale():
     for n in (10**5, 10**7, 10**9, 10**12):
         bits = adaptive_lsh_bits(n)
         assert bits == 30 or n / (1 << bits) <= LSH_TARGET_BUCKET
+
+
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    """Skew control: a stop-bigram shared by every document must not
+    explode the candidate join — with the default auto cap the planted hot
+    shingle is dropped from blocking, real near-dups are still found via
+    their rare shingles, and hot-shingle-only pairs are (documentedly) not
+    proposed."""
+    from parquet_spark.pipeline import dedup
+
+    n = 300
+    rows = [(i, f"of the unique{i} tokens{i} tail{i}") for i in range(n)]
+    # two real near-dups sharing rare shingles
+    rows += [(n, "alpha beta gamma delta epsilon zeta"),
+             (n + 1, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.3).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (n, n + 1) in pairs
+    # every proposed pair shares a NON-hot shingle; "of the" (df=300) is
+    # excluded from blocking so no quadratic fan-out of hot-only pairs
+    assert len(out) < 10
+
+
+def test_simhash_blocking_invariant(spark, docs, ddb):
+    """Output is identical for every n_blocks > max_hamming (pigeonhole
+    recall = 1): legacy B=4 and scale blockings B=5..7 all equal the
+    all-pairs oracle."""
+    from parquet_spark.pipeline import dedup
+
+    want = ddb.execute(dedup.simhash_oracle(max_hamming=3)).df()
+    for n_blocks in (4, 5, 7):
+        got = dedup.simhash_pairs(docs, max_hamming=3, n_blocks=n_blocks).toPandas()
+        assert_oracle_match_frames(got, want)
+
+
+def test_adaptive_simhash_blocks_scale():
+    from parquet_spark.pipeline.dedup import adaptive_simhash_blocks
+
+    assert adaptive_simhash_blocks(1_000) == 4            # 16-bit keys suffice
+    assert adaptive_simhash_blocks(10**9) >= 5            # ≥24-bit keys
+    assert adaptive_simhash_blocks(10**12) >= 6           # ≥30-bit keys
+    big = adaptive_simhash_blocks(10**15)
+    assert 4 < big <= 10
