@@ -26,10 +26,13 @@ MAX_EXP = 18  # 10^18 < 2^63
 
 
 def _exact(arr: np.ndarray, e: int, dtype, w) -> bool:
-    scaled = arr.astype(np.float64, copy=False) * (10.0**e)
-    if not np.all(np.isfinite(scaled)):
-        return False
-    m = np.round(scaled)
+    # overflow to inf during the scale probe is expected (the isfinite
+    # guard rejects it) — silence the RuntimeWarning so real ones surface
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = arr.astype(np.float64, copy=False) * (10.0**e)
+        if not np.all(np.isfinite(scaled)):
+            return False
+        m = np.round(scaled)
     if np.any(np.abs(m) >= 2.0**62):
         return False
     # round-trip through int64 exactly as encode/decode will — float round

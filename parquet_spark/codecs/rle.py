@@ -73,9 +73,12 @@ def encode(vals: np.ndarray, width: int) -> bytes:
         pos = 0
         qual = np.flatnonzero(lens >= MIN_RLE_RUN)
         if len(qual) > MAX_RLE_REGIONS:
-            qlens = lens[qual]
-            thr = int(np.partition(qlens, len(qual) - MAX_RLE_REGIONS)[len(qual) - MAX_RLE_REGIONS])
-            qual = qual[qlens >= max(thr, MIN_RLE_RUN)]
+            # take exactly the MAX_RLE_REGIONS longest runs (argpartition
+            # indices, not a >=threshold filter — ties at the threshold
+            # would otherwise keep arbitrarily many regions and void the
+            # O(MAX_RLE_REGIONS) interpreter-time bound)
+            top = np.argpartition(lens[qual], len(qual) - MAX_RLE_REGIONS)[len(qual) - MAX_RLE_REGIONS:]
+            qual = np.sort(qual[top])
         for i in qual:
             s, ln = int(starts[i]), int(lens[i])
             if s < pos:  # head of this run was borrowed into the previous region

@@ -122,6 +122,13 @@ def read_encoded(
 
     snap = read_snapshot(path)
     if snap is None:
+        # a crash between compact_table's two swap renames parks the
+        # complete old table at <path>.old — recover it transparently
+        from parquet_spark.operators.maintain import recover_table
+
+        if recover_table(path):
+            snap = read_snapshot(path)
+    if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
     blocks_df = spark.read.parquet(os.path.join(path, "data"))
@@ -137,8 +144,14 @@ def read_encoded(
         if f"_min_{col}" in blocks_df.columns:
             blocks_df = blocks_df.where(_block_keep_condition(col, op, value))
         decoded = decode_table(blocks_df, schema, cols, verify=verify)
-        expr = {"==": "="}.get(op, op)
-        out = decoded.where(f"`{col}` {expr} {value!r}" if isinstance(value, str) else f"`{col}` {expr} {value}")
+        # typed Column comparison, not SQL text: dates/timestamps/strings
+        # with quotes all become proper literals instead of repr() fragments
+        op_fns = {
+            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+            "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+        }
+        out = decoded.where(op_fns[op](F.col(col), F.lit(value)))
         return out.select(*(columns or [f.name for f in schema.fields]))
     return decode_table(blocks_df, schema, columns, verify=verify)
 

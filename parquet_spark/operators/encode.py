@@ -105,11 +105,25 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                 }
                 if col in stats_cols:
                     mm = pc.min_max(arr)
-                    vmin, vmax = mm["min"], mm["max"]
-                    stat_arrays.append(pa.array([vmin.as_py()], arr.type))
-                    stat_arrays.append(pa.array([vmax.as_py()], arr.type))
-                    meta["vmin"] = str(vmin.as_py()) if vmin.is_valid else None
-                    meta["vmax"] = str(vmax.as_py()) if vmax.is_valid else None
+                    vmin = mm["min"].as_py() if mm["min"].is_valid else None
+                    vmax = mm["max"].as_py() if mm["max"].is_valid else None
+                    if pa.types.is_floating(arr.type):
+                        # pc.min_max skips NaN, but Spark orders NaN above
+                        # every double — a block whose only rows matching
+                        # (col > v) are NaN must NOT be pruned. Record
+                        # vmax=NaN when any NaN is present (NaN >= v is true
+                        # in Spark, so the block is kept); an all-NaN block
+                        # gets vmin=NaN too (NaN < v is false → '<' prunes
+                        # it, correctly, instead of inf/-inf garbage).
+                        n_nan = pc.sum(pc.is_nan(arr)).as_py() or 0
+                        if n_nan:
+                            vmax = float("nan")
+                            if n_nan == n - arr.null_count:
+                                vmin = float("nan")
+                    stat_arrays.append(pa.array([vmin], arr.type))
+                    stat_arrays.append(pa.array([vmax], arr.type))
+                    meta["vmin"] = None if vmin is None else str(vmin)
+                    meta["vmax"] = None if vmax is None else str(vmax)
                 metas[col] = meta
                 payloads.append(payload)
             arrays = (
@@ -278,34 +292,37 @@ def write_encoded(
         weight_col=weight_col, cluster_col=cluster_col,
     )
 
+    data_dir = os.path.join(path, "data")
+    man_dir = os.path.join(path, "manifest")
     skipped = 0
     mode = "overwrite"
     snap = read_snapshot(path) if resume else None
-    if snap and snap.get("fingerprint") == fp:
-        done = (
-            spark.read.schema(MANIFEST_DDL)
-            .parquet(os.path.join(path, "manifest"))
-            .select("bucket").distinct()
-        )
-        done_list = [r.bucket for r in done.collect()]
-        skipped = len(done_list)
-        if skipped >= n_buckets:
-            return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
+    if snap and snap.get("fingerprint") == fp and os.path.exists(data_dir):
+        # completed buckets come from the DATA dir (the source of truth —
+        # a crash between the data and manifest writes must not cause a
+        # re-encode and duplicate rows); the scan is meta-only, so Catalyst
+        # prunes every payload column out of the parquet read
+        done = spark.read.parquet(data_dir).select("bucket").distinct()
+        skipped = done.count()
         if skipped:
             salted = salted.join(F.broadcast(done.withColumnRenamed("bucket", BUCKET_COL)), BUCKET_COL, "left_anti")
             mode = "append"
 
-    blocks = encode_table(salted, columns=columns, block_rows=block_rows, codecs=codecs, compression=compression)
-    blocks.write.mode(mode).parquet(os.path.join(path, "data"))
-    data_df = spark.read.parquet(os.path.join(path, "data"))
-    if mode == "append":
-        # manifest rebuilt from the full data dir keeps it consistent
-        manifest_from_blocks(data_df.select("bucket", "part_id", "block_id", "meta")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "manifest"))
+    if skipped < n_buckets:
+        blocks = encode_table(salted, columns=columns, block_rows=block_rows, codecs=codecs, compression=compression)
+        blocks.write.mode(mode).parquet(data_dir)
+
+    # manifest: incremental — append entries only for buckets the manifest
+    # does not know yet (at 10⁶ blocks a full rebuild per resume would
+    # re-read and re-write every historical entry). This also heals a
+    # manifest left behind by a crash after the data write.
+    data_meta = spark.read.parquet(data_dir).select("bucket", "part_id", "block_id", "meta")
+    if mode == "append" and os.path.exists(man_dir):
+        known = spark.read.schema(MANIFEST_DDL).parquet(man_dir).select("bucket").distinct()
+        fresh = data_meta.join(F.broadcast(known), "bucket", "left_anti")
+        if not fresh.isEmpty():
+            manifest_from_blocks(fresh).write.mode("append").parquet(man_dir)
     else:
-        manifest_from_blocks(data_df.select("bucket", "part_id", "block_id", "meta")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "manifest"))
+        manifest_from_blocks(data_meta).write.mode("overwrite").parquet(man_dir)
     write_snapshot(path, df.schema.json(), columns, fp, {"n_buckets": n_buckets, "block_rows": block_rows})
     return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}

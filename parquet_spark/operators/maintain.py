@@ -5,9 +5,13 @@ appends leave buckets with many short blocks; short blocks hurt both
 compression (per-block headers, dictionaries, symbol tables amortize over
 fewer values) and decode throughput (more per-block Python dispatch).
 `compact_table` rewrites the table at full block size — the analogue of
-Iceberg's rewrite_data_files maintenance action, done the simple/safe way:
-full rewrite into a sibling directory, then an atomic directory swap, so a
-crash at any point leaves either the old or the new complete table.
+Iceberg's rewrite_data_files maintenance action, done the simple way:
+full rewrite into a sibling directory, then a two-rename swap. The swap is
+NOT atomic (local-filesystem renames; a real deployment would swap an
+Iceberg snapshot pointer instead): a crash between the renames leaves the
+complete old table parked at `<path>.old`, which `recover_table` — called
+automatically by read_encoded — renames back. No data is ever lost, but
+the window exists and this only works on a local/POSIX filesystem.
 """
 
 from __future__ import annotations
@@ -47,6 +51,19 @@ def fragmentation(spark: SparkSession, path: str, block_rows: int | None = None)
         "target_block_rows": target,
         "fill_ratio": round(mean / target, 4) if target else 0.0,
     }
+
+
+def recover_table(path: str) -> bool:
+    """Crash recovery for compact_table's two-rename swap: if `path` has no
+    snapshot but `<path>.old` holds a complete table (the window between the
+    two renames), rename it back. Returns True if a recovery happened."""
+    old = path.rstrip("/") + ".old"
+    has_snap = os.path.exists(os.path.join(path, "snapshot.json"))
+    if not has_snap and os.path.exists(os.path.join(old, "snapshot.json")):
+        shutil.rmtree(path, ignore_errors=True)  # partial dir, if any
+        os.rename(old, path)
+        return True
+    return False
 
 
 def compact_table(

@@ -46,3 +46,21 @@ def test_compact_noop_when_already_full(spark, tmp_path):
     write_encoded(sequences_df(spark, 4000, seed=22, n_partitions=2), path, target_partitions=2, block_rows=64, resume=False)
     rep = compact_table(spark, path, block_rows=64)
     assert not rep["compacted"]
+
+
+def test_recover_table_after_interrupted_swap(spark, tmp_path):
+    """Simulate a crash between compact_table's two renames: the table is
+    parked at <path>.old; read_encoded must recover it transparently."""
+    import os
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "crash_t")
+    df = sequences_df(spark, 500, seed=9, n_partitions=2)
+    write_encoded(df, path, target_partitions=2, resume=False)
+    os.rename(path, path + ".old")  # the mid-swap crash state
+    assert read_encoded(spark, path).count() == 500
+    assert os.path.exists(os.path.join(path, "snapshot.json"))
+    assert not os.path.exists(path + ".old")

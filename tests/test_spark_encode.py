@@ -138,3 +138,61 @@ def test_manifest_codecs_and_metrics(spark, seq_path, tmp_path):
     assert src_codecs == {"dict"}
     assert (man["enc_bytes"] > 0).all()
     assert (man["n_values"] > 0).all()
+
+
+def test_resume_appends_manifest_incrementally(spark, tmp_path):
+    """Resume must append manifest entries for new buckets only — the
+    historical manifest part-files stay byte-identical (at 10^6 blocks a
+    full rebuild per resume would re-read and re-write every entry)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_manifest
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "inc_t")
+    df = sequences_df(spark, 4000, seed=12, n_partitions=4)
+    write_encoded(df, path, target_partitions=8, resume=False, fingerprint="fx")
+    man_dir = os.path.join(path, "manifest")
+    before = {
+        f: os.path.getmtime(os.path.join(man_dir, f))
+        for f in os.listdir(man_dir) if f.endswith(".parquet")
+    }
+    # drop some buckets' data to simulate a partial failure, then resume
+    data_dir = os.path.join(path, "data")
+    keep = spark.read.parquet(data_dir).where("bucket >= 4")
+    victims = spark.read.parquet(data_dir).where("bucket < 4").count()
+    assert victims > 0
+    tmp_data = str(tmp_path / "data_keep")
+    keep.write.parquet(tmp_data)
+    import shutil
+
+    shutil.rmtree(data_dir)
+    os.rename(tmp_data, data_dir)
+    # manifest still lists the dropped buckets — rewrite it to match data
+    # (simulates crash after data write of remaining buckets, before manifest)
+    from parquet_spark.operators.encode import manifest_from_blocks
+
+    manifest_from_blocks(
+        spark.read.parquet(data_dir).select("bucket", "part_id", "block_id", "meta")
+    ).write.mode("overwrite").parquet(man_dir)
+    before = {
+        f: os.path.getmtime(os.path.join(man_dir, f))
+        for f in os.listdir(man_dir) if f.endswith(".parquet")
+    }
+    res = write_encoded(df, path, target_partitions=8, resume=True, fingerprint="fx")
+    assert 0 < res["buckets_skipped"] < res["buckets_total"]
+    after_files = [f for f in os.listdir(man_dir) if f.endswith(".parquet")]
+    # old manifest files untouched (same mtimes), new ones appended
+    for f, mt in before.items():
+        assert f in after_files and os.path.getmtime(os.path.join(man_dir, f)) == mt
+    assert len(after_files) > len(before)
+    # manifest is complete and consistent with the data dir
+    man_buckets = {r["bucket"] for r in read_manifest(spark, path).select("bucket").distinct().collect()}
+    data_buckets = {r["bucket"] for r in spark.read.parquet(data_dir).select("bucket").distinct().collect()}
+    assert man_buckets == data_buckets
+    assert read_manifest(spark, path).groupBy("bucket", "part_id", "block_id", "column").count().where(
+        F.col("count") > 1
+    ).isEmpty()

@@ -123,3 +123,56 @@ def test_cluster_col_makes_pruning_effective(spark, tmp_path):
     got = read_encoded(spark, path, where=("n_tok", ">", int(hi))).count()
     assert got == want
     blocks.unpersist()
+
+
+def test_nan_blocks_not_pruned(spark, tmp_path):
+    """Spark orders NaN above every double: a block whose only rows
+    matching (x > v) are NaN must survive pruning, and an all-NaN block
+    must still prune for '<'. Pruned results == decode-then-filter."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+
+    rows = (
+        [(i, 1.0 + i * 0.001) for i in range(3000)]            # low block(s)
+        + [(10_000 + i, float("nan")) for i in range(3000)]    # all-NaN block
+    )
+    df = spark.createDataFrame(rows, "doc_id long, x double").repartition(1)
+    path = str(tmp_path / "nan_t")
+    write_encoded(
+        df, path, target_partitions=1, block_rows=1024, resume=False,
+        source_col="doc_id % 2", salt_key="doc_id", weight_col=None, cluster_col="x",
+    )
+    plain = read_encoded(spark, path)
+    for op, v in ((">", 100.0), (">=", 100.0), ("<", 0.5), ("<", 2.0), ("=", 1.5)):
+        got = sorted(r["doc_id"] for r in read_encoded(spark, path, where=("x", op, v)).collect())
+        want = sorted(
+            r["doc_id"] for r in plain.where(f"x {'=' if op == '=' else op} {v}").collect()
+        )
+        assert got == want, (op, v, len(got), len(want))
+    # NaN rows really are returned for > (Spark NaN-largest semantics)
+    assert len(read_encoded(spark, path, where=("x", ">", 100.0)).collect()) == 3000
+
+
+def test_where_filter_handles_dates_and_quotes(spark, tmp_path):
+    """Typed Column filter (not SQL text): date literals and strings with
+    quotes must round-trip through read_encoded(where=...)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.date_add(F.lit(datetime.date(2020, 1, 1)), F.col("id").cast("int")).alias("d"),
+        F.concat(F.lit("it's \""), F.col("id").cast("string")).alias("s"),
+    )
+    path = str(tmp_path / "dq_t")
+    write_encoded(df, path, target_partitions=2, block_rows=64, resume=False,
+                  source_col="doc_id % 2", salt_key="doc_id", weight_col=None)
+    got = read_encoded(spark, path, where=("d", ">", datetime.date(2020, 6, 1))).count()
+    want = df.where(F.col("d") > F.lit(datetime.date(2020, 6, 1))).count()
+    assert got == want > 0
+    got_s = read_encoded(spark, path, where=("s", "=", "it's \"7")).collect()
+    assert [r["doc_id"] for r in got_s] == [7]
