@@ -188,10 +188,13 @@ def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _fnv1a_bytes(tokens: list[str]) -> np.ndarray:
+def _fnv1a_bytes(tokens, init: np.ndarray | None = None) -> np.ndarray:
     """FNV-1a 64-bit over many strings, vectorized column-parallel: one
     numpy pass per byte POSITION over a (n_strings,) lane, never a Python
-    loop over strings or bytes. Identical output to the scalar FNV-1a."""
+    loop over strings or bytes. Identical output to the scalar FNV-1a.
+    `init` seeds each lane with a caller-provided running hash instead of
+    the FNV offset basis — the fold-continuation used to hash bigrams
+    without materializing the joined strings."""
     import pyarrow as pa
 
     arr = tokens if isinstance(tokens, pa.Array) else pa.array(tokens, pa.string())
@@ -202,7 +205,7 @@ def _fnv1a_bytes(tokens: list[str]) -> np.ndarray:
     off = np.frombuffer(bufs[1], np.int32, n + 1, offset=arr.offset * 4).astype(np.int64)
     data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
     starts, lens = off[:-1], off[1:] - off[:-1]
-    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64) if init is None else init.astype(np.uint64, copy=True)
     prime = np.uint64(0x100000001B3)
     for j in range(int(lens.max()) if n else 0):
         valid = lens > j
@@ -212,6 +215,49 @@ def _fnv1a_bytes(tokens: list[str]) -> np.ndarray:
         c[valid] = data[starts[valid] + j]
         h = np.where(valid, (h ^ c) * prime, h)
     return h
+
+
+def _split_words(texts: pd.Series):
+    """Vectorized `(t or '').lower().split()` over a whole Arrow batch:
+    returns (flat word StringArray with empties removed, per-doc int64
+    counts). No Python loop over documents — Arrow kernels split and
+    lowercase; numpy segment math drops the empty tokens Arrow emits for
+    leading/trailing/empty inputs (Python split() never yields those)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts, type=pa.string())
+    lv = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(arr, "")))
+    if lv.offset != 0:  # defensive: align offsets with flatten()'s view
+        lv = lv.combine_chunks() if isinstance(lv, pa.ChunkedArray) else pa.concat_arrays([lv])
+    off = np.asarray(lv.offsets, dtype=np.int64)
+    flat = lv.flatten()
+    keep = pc.not_equal(flat, "")
+    m = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate(([0], np.cumsum(m)))
+    counts = cs[off[1:]] - cs[off[:-1]]
+    return flat.filter(keep), counts
+
+
+def _bigram_hashes(words, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """FNV-1a hashes of word bigrams "w[i] w[i+1]" within each document,
+    via fold continuation: hash(w1), then the space byte, then w2's bytes —
+    bit-identical to hashing the joined string, with no string
+    materialization. Returns (flat bigram hashes, per-doc bigram counts)."""
+    hw = _fnv1a_bytes(words)
+    n = len(hw)
+    if n < 2:
+        return np.empty(0, dtype=np.uint64), np.maximum(counts - 1, 0)
+    prime = np.uint64(0x100000001B3)
+    init = (hw[:-1] ^ np.uint64(0x20)) * prime  # fold the ' ' separator
+    hb_all = _fnv1a_bytes(words.slice(1), init=init)
+    # mask out pairs that straddle a document boundary
+    wstarts = np.concatenate(([0], np.cumsum(counts)))
+    mask = np.ones(n - 1, dtype=bool)
+    js = wstarts[1:-1]
+    js = js[(js > 0) & (js <= n - 1)]
+    mask[js - 1] = False
+    return hb_all[mask], np.maximum(counts - 1, 0)
 
 
 def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -233,30 +279,32 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     @F.pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
-        # flatten the whole Arrow batch's shingles, hash them in ONE
-        # vectorized FNV pass, then per-doc signature = segment-min over
-        # the (shingles × hashes) permutation matrix (np.minimum.reduceat);
-        # docs chunked to bound the matrix at ~100 MB
-        grams_per_doc: list[list[str]] = []
-        for t in texts:
-            words = (t or "").lower().split()
-            grams_per_doc.append(list({f"{words[i]} {words[i+1]}" for i in range(len(words) - 1)}))
-        n_docs = len(grams_per_doc)
+        # fully vectorized: Arrow splits the batch's words, one FNV fold
+        # pass hashes every bigram (duplicates don't move a min), then the
+        # per-doc signature is a segment-min over the (bigrams × hashes)
+        # permutation matrix (np.minimum.reduceat); docs chunked to bound
+        # the matrix at ~128 MB
+        words, counts = _split_words(texts)
+        hb, bcounts = _bigram_hashes(words, counts)
+        n_docs = len(counts)
         sigs = np.full((n_docs, MINHASH_N), np.uint64(_MERSENNE), dtype=np.uint64)
-        chunk = 512
         m = np.uint64(_MERSENNE)
-        for c0 in range(0, n_docs, chunk):
-            docs = grams_per_doc[c0 : c0 + chunk]
-            lens = np.array([len(g) for g in docs], dtype=np.int64)
-            flat: list[str] = [g for doc in docs for g in doc]
-            if not flat:
-                continue
-            x = _fnv1a_bytes(flat) % m
-            perm = (x[:, None] * a_p[None, :] + b_p[None, :]) % m
-            bounds = np.concatenate(([0], np.cumsum(lens)))
-            nonempty = np.flatnonzero(lens > 0)
-            mins = np.minimum.reduceat(perm, bounds[:-1][nonempty], axis=0)
-            sigs[c0 + nonempty] = mins
+        bounds = np.concatenate(([0], np.cumsum(bcounts)))
+        max_hashes = 131072
+        c0 = 0
+        while c0 < n_docs:
+            c1 = c0 + 1
+            while c1 < n_docs and bounds[c1 + 1] - bounds[c0] <= max_hashes:
+                c1 += 1
+            lo, hi = bounds[c0], bounds[c1]
+            if hi > lo:
+                x = hb[lo:hi] % m
+                perm = (x[:, None] * a_p[None, :] + b_p[None, :]) % m
+                lens = bcounts[c0:c1]
+                nonempty = np.flatnonzero(lens > 0)
+                mins = np.minimum.reduceat(perm, bounds[c0:c1][nonempty] - lo, axis=0)
+                sigs[c0 + nonempty] = mins
+            c0 = c1
         return pd.Series(sigs.view(np.int64).tolist())
 
     sigs = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
@@ -337,27 +385,32 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     @F.pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
-        # flatten the batch's words, one vectorized FNV pass, then per-doc
-        # bit votes via np.add.reduceat over the (words × 64) bit matrix
+        # fully vectorized: Arrow splits the batch's words, one FNV pass
+        # hashes them, then per-doc bit votes via np.add.reduceat over the
+        # (words × 64) bit matrix; docs chunked to bound the matrix
         shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-        words_per_doc = [(t or "").lower().split() for t in texts]
-        n_docs = len(words_per_doc)
+        words, counts = _split_words(texts)
+        hs_all = _fnv1a_bytes(words)
+        n_docs = len(counts)
         out = np.zeros(n_docs, dtype=np.int64)
-        chunk = 1024
-        for c0 in range(0, n_docs, chunk):
-            docs = words_per_doc[c0 : c0 + chunk]
-            lens = np.array([len(w) for w in docs], dtype=np.int64)
-            flat = [w for doc in docs for w in doc]
-            if not flat:
-                continue
-            hs = _fnv1a_bytes(flat)
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-            votes_all = 2 * bits - 1
-            bounds = np.concatenate(([0], np.cumsum(lens)))
-            nonempty = np.flatnonzero(lens > 0)
-            votes = np.add.reduceat(votes_all, bounds[:-1][nonempty], axis=0)
-            sigs = np.where(votes > 0, np.uint64(1) << shifts[None, :], np.uint64(0))
-            out[c0 + nonempty] = np.bitwise_or.reduce(sigs, axis=1).view(np.int64)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        max_hashes = 262144
+        c0 = 0
+        while c0 < n_docs:
+            c1 = c0 + 1
+            while c1 < n_docs and bounds[c1 + 1] - bounds[c0] <= max_hashes:
+                c1 += 1
+            lo, hi = bounds[c0], bounds[c1]
+            if hi > lo:
+                hs = hs_all[lo:hi]
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                votes_all = 2 * bits - 1
+                lens = counts[c0:c1]
+                nonempty = np.flatnonzero(lens > 0)
+                votes = np.add.reduceat(votes_all, bounds[c0:c1][nonempty] - lo, axis=0)
+                sigs = np.where(votes > 0, np.uint64(1) << shifts[None, :], np.uint64(0))
+                out[c0 + nonempty] = np.bitwise_or.reduce(sigs, axis=1).view(np.int64)
+            c0 = c1
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))

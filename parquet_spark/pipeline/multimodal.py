@@ -17,7 +17,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -56,34 +55,61 @@ def decode_media(payload: bytes, codec: str) -> np.ndarray:
     )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads: whole Arrow
-    batches in, vectorized byte stats out. The pattern (schema + batch
-    iterator + per-batch numpy) is exactly what a real image featurizer
-    (resize / embed) drops into."""
+def _payload_view(batch: "pa.RecordBatch"):
+    """Zero-copy (offsets, data) view of the batch's payload binary column
+    — valid only for codec='raw' (the identity decode); any other codec
+    raises through decode_media. Returns (starts, ends, data) int64/uint8."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = [decode_media(p, c) for p, c in zip(pdf["payload"], pdf["codec"])]
-            n = np.array([len(p) for p in payloads], dtype=np.int32)
-            first = np.array([int(p[0]) if len(p) else -1 for p in payloads], dtype=np.int32)
-            last = np.array([int(p[-1]) if len(p) else -1 for p in payloads], dtype=np.int32)
-            tot = np.array([int(p.sum(dtype=np.int64)) for p in payloads], dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": n,
-                    "first_byte": first,
-                    "last_byte": last,
+    codecs = batch.column("codec")
+    if pc.any(pc.not_equal(codecs, pa.scalar("raw"))).as_py():
+        bad = pc.filter(codecs, pc.not_equal(codecs, pa.scalar("raw")))[0].as_py()
+        decode_media(b"", bad)  # raises NotImplementedError with the message
+    pay = batch.column("payload")
+    bufs = pay.buffers()
+    off = np.frombuffer(bufs[1], np.int32, len(pay) + 1, offset=pay.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return off[:-1], off[1:], data
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInArrow feature extraction over binary payloads: whole Arrow
+    batches in, pure offsets math out — byte sums are one cumsum over the
+    batch's concatenated payload buffer (no per-row Python at all). The
+    pattern (schema + batch iterator + segment numpy) is exactly what a
+    real image featurizer (resize / embed) drops into."""
+    import pyarrow as pa
+
+    def fn(batches) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            starts, ends, data = _payload_view(b)
+            lens = ends - starts
+            nonempty = lens > 0
+            safe_start = np.minimum(starts, max(len(data) - 1, 0))
+            safe_end = np.maximum(ends - 1, 0)
+            first = np.where(nonempty, data[safe_start].astype(np.int32), -1).astype(np.int32)
+            last = np.where(nonempty, data[safe_end].astype(np.int32), -1).astype(np.int32)
+            cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+            tot = cs[ends] - cs[starts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("media_id"),
+                    pa.array(lens.astype(np.int32), pa.int32()),
+                    pa.array(first, pa.int32()),
+                    pa.array(last, pa.int32()),
+                    pa.array(tot, pa.int64()),
                     # pure float64 division (no rounding): IEEE division is
                     # deterministic, so Spark and the DuckDB oracle agree
                     # bit-for-bit; round() implementations would not
-                    "byte_sum": tot,
-                    "mean_byte": tot / np.maximum(n, 1),
-                }
+                    pa.array(tot / np.maximum(lens, 1), pa.float64()),
+                ],
+                names=["media_id", "n_bytes", "first_byte", "last_byte", "byte_sum", "mean_byte"],
             )
 
-    return df.select("media_id", "payload", "codec").mapInPandas(fn, FEATURE_DDL)
+    return df.select("media_id", "payload", "codec").mapInArrow(fn, FEATURE_DDL)
 
 
 def media_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -109,22 +135,35 @@ def media_features_oracle(table: str = "documents", text_col: str = "text", id_c
 
 def frame_sample(df: DataFrame, every_n: int = 7) -> DataFrame:
     """Frame-sampling plumbing: slice every Nth byte of the payload (the
-    fake analogue of sampling every Nth video frame) — stays in Arrow."""
+    fake analogue of sampling every Nth video frame) — one strided-mask
+    gather over the batch's concatenated payload buffer, no per-row
+    Python; the output binary column is rebuilt from raw offsets."""
+    import pyarrow as pa
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            frames = [
-                bytes(decode_media(p, c)[::every_n].tobytes())
-                for p, c in zip(pdf["payload"], pdf["codec"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frames": frames,
-                    "n_frames": [len(f) for f in frames],
-                }
+    def fn(batches) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            starts, ends, data = _payload_view(b)
+            lens = ends - starts
+            # relative position-in-payload for every byte of the batch
+            total = int(lens.sum())
+            seg_cum = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            rel = np.arange(total) - np.repeat(seg_cum, lens)
+            abs_idx = np.repeat(starts, lens) + rel
+            keep = rel % every_n == 0
+            out_data = data[abs_idx[keep]] if total else np.empty(0, np.uint8)
+            out_lens = (lens + every_n - 1) // every_n
+            out_off = np.concatenate(([0], np.cumsum(out_lens))).astype(np.int32)
+            frames = pa.Array.from_buffers(
+                pa.binary(), len(lens),
+                [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_data.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("media_id"), frames, pa.array(out_lens.astype(np.int32), pa.int32())],
+                names=["media_id", "frames", "n_frames"],
             )
 
-    return df.select("media_id", "payload", "codec").mapInPandas(
+    return df.select("media_id", "payload", "codec").mapInArrow(
         fn, "media_id bigint, frames binary, n_frames int"
     )

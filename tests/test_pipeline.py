@@ -282,3 +282,32 @@ def test_adaptive_simhash_blocks_scale():
     assert adaptive_simhash_blocks(10**12) >= 6           # ≥30-bit keys
     big = adaptive_simhash_blocks(10**15)
     assert 4 < big <= 10
+
+
+def test_vectorized_word_and_bigram_extraction_matches_python():
+    """The Arrow/numpy word splitter and fold-continuation bigram hasher
+    must equal the scalar Python reference ((t or '').lower().split();
+    FNV-1a over 'w1 w2') on every edge: empties, nulls, repeated and
+    multi-whitespace, unicode case."""
+    import pandas as pd
+
+    from parquet_spark.pipeline.dedup import _bigram_hashes, _split_words
+
+    def fnv(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for by in s.encode():
+            h = ((h ^ by) * 0x100000001B3) % (1 << 64)
+        return h
+
+    texts = pd.Series([
+        "Hello  World", "", None, "  a\tb\nc  ", "one", "x y x y",
+        "Ünïcode WÖRDS here", "trailing space ", " leading",
+    ])
+    words, counts = _split_words(texts)
+    py_words = [("" if t is None else t).lower().split() for t in texts]
+    assert words.to_pylist() == [w for doc in py_words for w in doc]
+    assert counts.tolist() == [len(doc) for doc in py_words]
+    hb, bcounts = _bigram_hashes(words, counts)
+    py_bigrams = [f"{doc[i]} {doc[i+1]}" for doc in py_words for i in range(len(doc) - 1)]
+    assert bcounts.tolist() == [max(len(doc) - 1, 0) for doc in py_words]
+    assert [int(h) for h in hb] == [fnv(g) for g in py_bigrams]
