@@ -146,6 +146,23 @@ def _q_roundtrip_nested_struct(spark, sf_dir):
     )
 
 
+def _q_roundtrip_uint64_extremes(spark, sf_dir):
+    """Unsigned-integer parity at the Spark boundary: the reference
+    supports uint32/uint64 end-to-end (/root/reference/README.md:116-129,
+    cmd/parquetgen/gen/template.go:464-481); Spark has no unsigned types,
+    so the engine's documented mapping is uint64 ≡ two's-complement long
+    (the Arrow codec layer is unsigned-exact, tests/test_delta.py etc.).
+    Values hug both int64 extremes so for_bp/delta see full-width ranges."""
+    i64_min, i64_max = -(2**63), 2**63 - 1
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(i64_min) + F.col("o_orderkey"))
+        .otherwise(F.lit(i64_max) - F.col("o_orderkey"))
+        .alias("u64"),
+    )
+    return _roundtrip(df)
+
+
 def _q_roundtrip_pruned_read(spark, sf_dir):
     """Stats-backed block pruning through the full table layout: encode
     orders (clustered on o_totalprice), read back with a range predicate
@@ -291,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_timestamps": _q_roundtrip_timestamps,
         "roundtrip_auto_all": _q_roundtrip_auto_all,
         "roundtrip_nested_struct": _q_roundtrip_nested_struct,
+        "roundtrip_uint64_extremes": _q_roundtrip_uint64_extremes,
         "roundtrip_pruned_read": _q_roundtrip_pruned_read,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
@@ -334,6 +352,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_nested_struct": (
             "SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, "
             "l_quantity, l_extendedprice FROM lineitem"
+        ),
+        "roundtrip_uint64_extremes": (
+            "SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 "
+            "THEN CAST(-9223372036854775807 - 1 AS BIGINT) + o_orderkey "
+            "ELSE CAST(9223372036854775807 AS BIGINT) - o_orderkey END AS u64 FROM orders"
         ),
         "roundtrip_pruned_read": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
