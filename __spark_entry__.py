@@ -183,6 +183,48 @@ def _q_roundtrip_pruned_read(spark, sf_dir):
     return read_encoded(spark, path, where=("o_totalprice", ">", 150000.0))
 
 
+_INTEROP_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"]
+_INTEROP_SQL = "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem"
+
+
+def _q_interop_parquet_write(spark, sf_dir):
+    """Interop OUT (reference parity item #1, /root/reference/parquet.go:
+    217-260): the engine's raw standards-Parquet writer
+    (sources/parquet_raw.py — thrift compact footer, v1 data pages, PLAIN +
+    RLE def levels, no pyarrow.parquet involved) emits a file that PYARROW
+    (a third-party reader) opens; the values must hash-match the source
+    table. Fixture-scale by design: the driver gate runs at sf0.01."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    df = _t(spark, sf_dir, "lineitem").select(*_INTEROP_COLS)
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/out.parquet"
+    parquet_raw.write_file(path, df.toArrow(), compression="snappy")
+    back = pq.read_table(path)  # third-party reader proves the file is real Parquet
+    return spark.createDataFrame(back.to_pandas(), schema=df.schema)
+
+
+def _q_interop_parquet_read(spark, sf_dir):
+    """Interop IN (reference gen/gen.go:101-148 reads third-party files):
+    a pyarrow-written Parquet file (dictionary encoding on — its default)
+    decoded by the engine's own raw reader, no pyarrow.parquet on the read
+    side."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    df = _t(spark, sf_dir, "lineitem").select(*_INTEROP_COLS)
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/in.parquet"
+    pq.write_table(df.toArrow(), path, data_page_version="1.0", compression="snappy")
+    back = parquet_raw.read_file(path)
+    return spark.createDataFrame(back.to_pandas(), schema=df.schema)
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -310,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nested_struct": _q_roundtrip_nested_struct,
         "roundtrip_uint64_extremes": _q_roundtrip_uint64_extremes,
         "roundtrip_pruned_read": _q_roundtrip_pruned_read,
+        "interop_parquet_write": _q_interop_parquet_write,
+        "interop_parquet_read": _q_interop_parquet_read,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -362,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice > 150000.0"
         ),
+        "interop_parquet_write": _INTEROP_SQL,
+        "interop_parquet_read": _INTEROP_SQL,
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from
         # Spark's int64 even when every value agrees

@@ -1,0 +1,127 @@
+"""Standards-compliant Parquet interop (sources/parquet_raw.py): the
+engine's raw writer/reader against third-party readers/writers.
+
+This is the whole-file byte-parity closure of the reference's deliverable
+(/root/reference/parquet.go:217-260 layout, fields.go optional/required
+encode paths, parquet_test.go Person round-trips): files our writer emits
+open in pyarrow AND duckdb; files pyarrow/duckdb emit open in our reader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_spark.sources import parquet_raw as praw
+
+
+@pytest.fixture()
+def mixed_table() -> pa.Table:
+    n = 257  # odd size: exercises boolean bit-pack tail + page splits
+    return pa.table(
+        {
+            "i32": pa.array(np.arange(n, dtype=np.int32)),
+            "i64": pa.array(
+                [None if i % 7 == 0 else (i - n // 2) * 1234567891011 for i in range(n)],
+                pa.int64(),
+            ),
+            "f": pa.array(np.linspace(-1, 1, n, dtype=np.float32)),
+            "d": pa.array([None if i % 11 == 0 else i * 0.25 for i in range(n)], pa.float64()),
+            "b": pa.array([i % 3 == 0 for i in range(n)]),
+            "s": pa.array(
+                [None if i % 13 == 0 else f"it's row {i} \"quoted\" é" for i in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("compression", ["none", "snappy", "gzip", "zstd"])
+def test_raw_writer_read_by_pyarrow_duckdb_and_self(tmp_path, mixed_table, compression):
+    import duckdb
+
+    p = str(tmp_path / f"t_{compression}.parquet")
+    praw.write_file(p, mixed_table, compression=compression, page_rows=64)
+    assert pq.read_table(p).equals(mixed_table)                      # pyarrow opens it
+    got_dd = duckdb.query(f"SELECT * FROM read_parquet('{p}')").arrow()
+    assert got_dd.cast(mixed_table.schema).equals(mixed_table)        # duckdb opens it
+    assert praw.read_file(p).cast(mixed_table.schema).equals(mixed_table)  # we open it
+
+
+def test_raw_reader_reads_pyarrow_plain_and_dict(tmp_path, mixed_table):
+    p1 = str(tmp_path / "plain.parquet")
+    pq.write_table(mixed_table, p1, use_dictionary=False, data_page_version="1.0",
+                   compression="snappy")
+    assert praw.read_file(p1).cast(mixed_table.schema).equals(mixed_table)
+    p2 = str(tmp_path / "dict.parquet")
+    pq.write_table(mixed_table, p2, data_page_version="1.0", compression="snappy")
+    assert praw.read_file(p2).cast(mixed_table.schema).equals(mixed_table)
+
+
+def test_raw_reader_reads_duckdb_file(tmp_path, mixed_table):
+    import duckdb
+
+    p = str(tmp_path / "dd.parquet")
+    con = duckdb.connect()
+    con.register("t", mixed_table)
+    con.query(f"COPY t TO '{p}' (FORMAT PARQUET, COMPRESSION SNAPPY)")
+    assert praw.read_file(p).cast(mixed_table.schema).equals(mixed_table)
+
+
+def test_person_schema_roundtrip(tmp_path):
+    """The reference test suite's Person data shape
+    (/root/reference/parquet_test.go:989-1023): required + optional fields
+    of every scalar family, round-tripped through the raw file format."""
+    people = pa.table(
+        {
+            "id": pa.array(np.arange(50, dtype=np.int32)),
+            "name": pa.array([f"person {i}" for i in range(50)], pa.string()),
+            "age": pa.array([None if i % 4 == 0 else 20 + i % 60 for i in range(50)], pa.int32()),
+            "happiness": pa.array(np.arange(50, dtype=np.int64) * 7),
+            "sadness": pa.array([None if i % 5 == 0 else float(i) for i in range(50)], pa.float64()),
+            "keen": pa.array([None if i % 6 == 0 else i % 2 == 0 for i in range(50)], pa.bool_()),
+        }
+    )
+    p = str(tmp_path / "person.parquet")
+    praw.write_file(p, people, compression="snappy")
+    assert pq.read_table(p).equals(people)
+    assert praw.read_file(p).cast(people.schema).equals(people)
+
+
+def test_column_projection_and_metadata(tmp_path, mixed_table):
+    p = str(tmp_path / "proj.parquet")
+    praw.write_file(p, mixed_table, page_rows=64)
+    got = praw.read_file(p, columns=["s", "i32"])
+    assert got.column_names == ["s", "i32"]
+    assert got.column("i32").to_pylist() == mixed_table.column("i32").to_pylist()
+    meta = praw.read_metadata(p)["meta"]
+    assert meta[1] == 1 and meta[3] == mixed_table.num_rows
+    assert len(meta[2]) == len(mixed_table.schema) + 1  # root + leaves
+
+
+def test_all_null_and_empty_columns(tmp_path):
+    t = pa.table(
+        {
+            "all_null": pa.array([None] * 10, pa.float64()),
+            "x": pa.array(np.arange(10, dtype=np.int64)),
+        }
+    )
+    p = str(tmp_path / "nulls.parquet")
+    praw.write_file(p, t)
+    assert pq.read_table(p).equals(t)
+    assert praw.read_file(p).cast(t.schema).equals(t)
+    empty = pa.table({"x": pa.array([], pa.int64())})
+    p2 = str(tmp_path / "empty.parquet")
+    praw.write_file(p2, empty)
+    assert pq.read_table(p2).num_rows == 0
+    assert praw.read_file(p2).num_rows == 0
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = str(tmp_path / "junk.bin")
+    with open(p, "wb") as f:
+        f.write(b"NOTPARQUET" * 10)
+    with pytest.raises(ValueError, match="PAR1"):
+        praw.read_file(p)
