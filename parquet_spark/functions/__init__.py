@@ -31,14 +31,23 @@ def ndv_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*[F.countDistinct(c).alias(f"ndv_{c}") for c in cols])
 
 
-def run_length_stats(df: DataFrame, col: str, order_cols: list[str]) -> DataFrame:
+def run_length_stats(
+    df: DataFrame, col: str, order_cols: list[str], partition_col: str | None = None
+) -> DataFrame:
     """Run structure of `col` under a total order: n_values, n_runs.
 
-    The single unpartitioned window is oracle-parity only (DuckDB runs the
-    same SQL); the engine's production path computes run stats per block
-    inside the encode kernel (stats/analyze.py) with no shuffle at all.
-    """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    With `partition_col` the window is partitioned — each partition's runs
+    are counted independently after one hash shuffle (the 100-TB plan;
+    n_runs is then the sum of per-partition runs, which over-counts by at
+    most n_partitions-1 boundary runs — exact per partition). Without it,
+    the single unpartitioned window is a ONE-PARTITION global sort: keep it
+    for oracle parity / small relations only. The engine's production path
+    computes run stats per block inside the encode kernel
+    (stats/analyze.py) with no shuffle at all."""
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
+    else:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
     changed = (F.col(col) != F.lag(col, 1).over(w)).cast("long")
     runs = df.select(F.coalesce(changed, F.lit(1)).alias("chg"))
     return runs.agg(

@@ -474,3 +474,42 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
         else:
             out.append(pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0])
     return pa.table(out, names=list(want))
+
+
+# ===================================================== distributed export
+
+
+def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int = 65536):
+    """Distributed standards-Parquet export: each partition writes one
+    part-N.parquet via the raw writer inside a mapInArrow task (no driver
+    collect — the scale path for 'hand this table to any Parquet reader').
+    Returns the per-part summary DataFrame (path, rows, bytes); consuming
+    it is what triggers the export."""
+    import os
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        import pyarrow as _pa
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        tbls = [
+            _pa.Table.from_batches([b]) for b in batches if b.num_rows
+        ]
+        if not tbls:
+            return
+        table = _pa.concat_tables(tbls)
+        path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        write_file(path, table, compression=compression, page_rows=page_rows)
+        yield _pa.RecordBatch.from_arrays(
+            [
+                _pa.array([path], _pa.string()),
+                _pa.array([table.num_rows], _pa.int64()),
+                _pa.array([os.path.getsize(path)], _pa.int64()),
+            ],
+            names=["path", "n_rows", "n_bytes"],
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.mapInArrow(fn, "path string, n_rows long, n_bytes long")

@@ -125,3 +125,30 @@ def test_bad_magic_rejected(tmp_path):
         f.write(b"NOTPARQUET" * 10)
     with pytest.raises(ValueError, match="PAR1"):
         praw.read_file(p)
+
+
+def test_export_parquet_distributed(spark, tmp_path):
+    """Each partition writes its own standards file inside the executor
+    task; Spark's stock parquet reader (a third-party reader as far as
+    parquet_raw is concerned) reads the directory back bit-equal."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.sources.parquet_raw import export_parquet
+
+    df = spark.range(0, 10_000, 1, 4).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("int").alias("m"),
+        F.concat(F.lit("row "), F.col("id").cast("string")).alias("s"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") * 0.5).alias("v"),
+    )
+    out = str(tmp_path / "export")
+    summary = export_parquet(df, out, compression="snappy").collect()
+    assert sum(r["n_rows"] for r in summary) == 10_000
+    assert len(summary) == 4
+    back = spark.read.parquet(out)
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    a = sorted(df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
