@@ -304,6 +304,16 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over the near-dup pair graph (the keep-one-
+    per-cluster step): iterative min-label propagation in Spark, recursive
+    CTE in DuckDB."""
+    from parquet_spark.pipeline import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return dedup.dedup_components(pairs)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from parquet_spark.pipeline import dedup
 
@@ -366,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "sim_knn_bruteforce": _q_sim_knn_bruteforce,
         "sim_near_dup": _q_sim_near_dup,
@@ -464,6 +475,9 @@ def _pipeline_oracles() -> dict[str, str]:
         # minhash_lsh verifies candidates with exact Jaccard; at b=64/r=2 its
         # recall at s>=0.4 is ~1, so the exact-Jaccard SQL is its oracle too.
         "dedup_minhash_lsh": dedup.ngram_jaccard_oracle(threshold=0.4),
+        "dedup_components": dedup.dedup_components_oracle(
+            dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto")
+        ),
         # SimHash is deterministic and band-blocking is recall-lossless
         # (pigeonhole), so DuckDB recomputes the full FNV+vote+Hamming set.
         "dedup_simhash": dedup.simhash_oracle(max_hamming=3),

@@ -518,3 +518,75 @@ def simhash_oracle(
         f"FROM s a JOIN s b ON a.id < b.id "
         f"WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"
     )
+
+
+# ------------------------------------------------------------- components
+
+def dedup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, keep_id):
+    every document maps to the smallest id in its duplicate cluster — the
+    standard "keep one per cluster" step after any pairwise dedup operator.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label in its neighborhood (large-star/small-star style); rounds
+    needed ≈ graph diameter of the largest cluster (near-dup clusters are
+    shallow, typically ≤ 5). Each round is two shuffles (join + groupBy);
+    the loop stops at fixpoint, detected with one scalar count per round —
+    no data is collected to the driver."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        # candidate label for each node: min over neighbors' labels and own
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nl"), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("keep_id"))
+
+
+def dedup_components_oracle(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """Recursive-CTE ground truth: keep_id = min id reachable from each
+    node over the undirected pair graph."""
+    # CTE names suffixed _cc: DuckDB makes sibling CTEs visible inside a
+    # nested WITH, so unsuffixed names would collide with the pairs SQL's
+    # own CTEs (s/e/d)
+    return (
+        f"WITH RECURSIVE pairs_cc AS ({pairs_sql}), "
+        f"edges_cc AS (SELECT {id_a} AS a, {id_b} AS b FROM pairs_cc "
+        f"UNION SELECT {id_b} AS a, {id_a} AS b FROM pairs_cc), "
+        f"reach_cc AS (SELECT a, a AS reach FROM edges_cc "
+        f"UNION SELECT edges_cc.a, reach_cc.reach FROM edges_cc "
+        f"JOIN reach_cc ON edges_cc.b = reach_cc.a) "
+        f"SELECT a AS id, min(reach) AS keep_id FROM reach_cc GROUP BY a"
+    )

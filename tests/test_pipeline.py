@@ -311,3 +311,25 @@ def test_vectorized_word_and_bigram_extraction_matches_python():
     py_bigrams = [f"{doc[i]} {doc[i+1]}" for doc in py_words for i in range(len(doc) - 1)]
     assert bcounts.tolist() == [max(len(doc) - 1, 0) for doc in py_words]
     assert [int(h) for h in hb] == [fnv(g) for g in py_bigrams]
+
+
+def test_dedup_components_planted_graph(spark):
+    """Chain a-b-c plus isolated pair d-e: every node maps to its
+    cluster's min id, chain transitivity included."""
+    from parquet_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["keep_id"] for r in dedup.dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_dedup_components_oracle(docs, ddb):
+    from parquet_spark.pipeline import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    assert_oracle_match(
+        dedup.dedup_components(pairs), ddb,
+        dedup.dedup_components_oracle(dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto")),
+    )
