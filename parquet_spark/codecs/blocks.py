@@ -257,7 +257,9 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             else np.zeros(0, np.uint8)
         )
         off = (off - base).astype(np.int32)
-        codec_name = codec or chooser.choose_string_codec(analyze.string_stats(off, data))
+        codec_name = codec or chooser.choose_string_codec(
+            analyze.string_stats(off, data), general_compression=compression != "none"
+        )
         body = _encode_string_body(off, data, codec_name)
         comp = compression if compression is not None else ("zstd" if codec_name == "plain" and len(data) > 512 else "none")
     elif dt_name == "bool":

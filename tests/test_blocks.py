@@ -73,12 +73,24 @@ def test_string_dict_auto():
     assert len(buf) < 2000  # auto-chooser must pick dict here
 
 
-def test_string_fsst_auto():
+def test_string_high_cardinality_auto():
     arr = pa.array([f"src{i % 20}-{i:012d}" for i in range(3000)])
     out, buf = rt(arr)
     assert out.equals(arr)
     raw = sum(len(s) for s in arr.to_pylist())
-    assert len(buf) < raw  # shared prefixes must compress
+    assert len(buf) < raw  # shared prefixes must compress (plain + zstd)
+
+
+def test_string_fsst_when_uncompressed():
+    """With general compression off, the chooser falls back to FSST so
+    shared substrings still compress."""
+    from parquet_spark.codecs import blocks as blk
+
+    arr = pa.array([f"src{i % 20}-{i:012d}" for i in range(3000)])
+    payload = blk.encode_array(arr, compression="none")
+    info = blk.describe(payload)
+    assert info["codec"] == "fsst" and info["compression"] == "none"
+    assert blk.decode_array(payload).equals(arr)
 
 
 def test_unicode_strings():
