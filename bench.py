@@ -118,13 +118,19 @@ def main() -> None:
     # ---- q2: decode (timed as a pure full-decode aggregation — every
     # payload column is forced through the decode kernels; the crc
     # round-trip proof below is correctness-only and untimed because its
-    # cost is the JVM string-cast of 10^7 tokens, not the decode)
+    # cost is the JVM string-cast of 10^7 tokens, not the decode).
+    # min-of-N like every other leg: a single sample on this host can be
+    # a 6x noise outlier.
     dec = read_encoded(spark, enc_path)
-    t0 = time.perf_counter()
-    dec.agg(
-        F.sum("n_tok"), F.sum(F.size("tokens")), F.count("doc_id"), F.count("source")
-    ).collect()
-    timings["decode_sequences"] = time.perf_counter() - t0
+    dec_runs = []
+    for _ in range(max(n_reps - 2, 2)):
+        t0 = time.perf_counter()
+        dec.agg(
+            F.sum("n_tok"), F.sum(F.size("tokens")), F.count("doc_id"), F.count("source")
+        ).collect()
+        dec_runs.append(time.perf_counter() - t0)
+    timings["decode_sequences"] = min(dec_runs)
+    extras["decode_runs_sec"] = [round(r, 3) for r in dec_runs]
     extras["decode_tokens_per_sec"] = n_tokens / timings["decode_sequences"]
     crc_expr = F.sum(F.crc32(F.concat_ws(",", F.col("doc_id"), F.col("tokens").cast("string")))).alias("c")
     crc_dec = dec.agg(crc_expr).collect()[0][0]
@@ -146,12 +152,16 @@ def main() -> None:
     from __spark_entry__ import queries
 
     q = queries()
-    t0 = time.perf_counter()
-    q["roundtrip_auto_all"](spark, sf_dir).agg(F.count("*")).collect()
-    timings["roundtrip_lineitem_auto"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    q["roundtrip_fsst_text"](spark, sf_dir).agg(F.count("*")).collect()
-    timings["roundtrip_documents_fsst"] = time.perf_counter() - t0
+    for name, key in (
+        ("roundtrip_auto_all", "roundtrip_lineitem_auto"),
+        ("roundtrip_fsst_text", "roundtrip_documents_fsst"),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q[name](spark, sf_dir).agg(F.count("*")).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = best
 
     total = sum(timings.values())
     out = {

@@ -133,16 +133,20 @@ def read_encoded(
     schema = StructType.fromJson(snap["schema"])
     blocks_df = spark.read.parquet(os.path.join(path, "data"))
     if where is not None:
-        col, op, value = where
-        if op not in _PRUNE_OPS:
-            raise ValueError(f"where op {op!r} not in {sorted(_PRUNE_OPS)}")
-        if col not in {f.name for f in schema.fields}:
-            raise KeyError(f"where column {col!r} not in encoded table")
-        cols = columns or [f.name for f in schema.fields]
-        if col not in cols:
-            cols = list(cols) + [col]
-        if f"_min_{col}" in blocks_df.columns:
-            blocks_df = blocks_df.where(_block_keep_condition(col, op, value))
+        # one (col, op, value) triple or a list of them (AND semantics) —
+        # every predicate contributes block pruning AND a row-level filter
+        preds = [where] if isinstance(where, tuple) else list(where)
+        known = {f.name for f in schema.fields}
+        cols = list(columns or [f.name for f in schema.fields])
+        for col, op, _value in preds:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"where op {op!r} not in {sorted(_PRUNE_OPS)}")
+            if col not in known:
+                raise KeyError(f"where column {col!r} not in encoded table")
+            if col not in cols:
+                cols.append(col)
+            if f"_min_{col}" in blocks_df.columns:
+                blocks_df = blocks_df.where(_block_keep_condition(col, op, _value))
         decoded = decode_table(blocks_df, schema, cols, verify=verify)
         # typed Column comparison, not SQL text: dates/timestamps/strings
         # with quotes all become proper literals instead of repr() fragments
@@ -151,7 +155,9 @@ def read_encoded(
             "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
             "=": lambda c, v: c == v, "==": lambda c, v: c == v,
         }
-        out = decoded.where(op_fns[op](F.col(col), F.lit(value)))
+        out = decoded
+        for col, op, value in preds:
+            out = out.where(op_fns[op](F.col(col), F.lit(value)))
         return out.select(*(columns or [f.name for f in schema.fields]))
     return decode_table(blocks_df, schema, columns, verify=verify)
 

@@ -176,3 +176,28 @@ def test_where_filter_handles_dates_and_quotes(spark, tmp_path):
     assert got == want > 0
     got_s = read_encoded(spark, path, where=("s", "=", "it's \"7")).collect()
     assert [r["doc_id"] for r in got_s] == [7]
+
+
+def test_where_multi_predicate(spark, tmp_path):
+    """A list of (col, op, value) predicates ANDs together: each one both
+    prunes blocks by its min/max and filters rows; results must equal
+    decode-then-filter."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "mp_t")
+    df = sequences_df(spark, 4000, seed=8, n_partitions=2)
+    write_encoded(df, path, target_partitions=4, block_rows=512, resume=False)
+    plain = read_encoded(spark, path)
+    want = sorted(
+        r["doc_id"]
+        for r in plain.where("n_tok > 300 AND n_tok <= 450").select("doc_id").collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in read_encoded(
+            spark, path, where=[("n_tok", ">", 300), ("n_tok", "<=", 450)]
+        ).select("doc_id").collect()
+    )
+    assert got == want and len(got) > 0
