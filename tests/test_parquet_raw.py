@@ -152,3 +152,44 @@ def test_export_parquet_distributed(spark, tmp_path):
     a = sorted(df.collect(), key=lambda r: r["id"])
     b = sorted(back.collect(), key=lambda r: r["id"])
     assert a == b
+
+
+def test_raw_roundtrip_fuzz():
+    """Generative: arbitrary flat tables (every supported type, arbitrary
+    null patterns, sizes crossing page boundaries) round-trip through the
+    raw writer and BOTH readers (ours and pyarrow's)."""
+    from hypothesis import given, settings, strategies as st
+
+    types = {
+        "i32": (pa.int32(), st.integers(-(2**31), 2**31 - 1)),
+        "i64": (pa.int64(), st.integers(-(2**63), 2**63 - 1)),
+        "f": (pa.float32(), st.floats(width=32, allow_nan=False)),
+        "d": (pa.float64(), st.floats(allow_nan=False)),
+        "b": (pa.bool_(), st.booleans()),
+        "s": (pa.string(), st.text(max_size=20)),
+    }
+
+    @st.composite
+    def tables(draw):
+        n = draw(st.integers(0, 200))
+        cols = draw(st.lists(st.sampled_from(sorted(types)), min_size=1, max_size=3, unique=True))
+        out = {}
+        for c in cols:
+            t, vs = types[c]
+            out[c] = pa.array(
+                draw(st.lists(st.one_of(st.none(), vs), min_size=n, max_size=n)), t
+            )
+        return pa.table(out)
+
+    @settings(max_examples=30, deadline=None)
+    @given(tables())
+    def check(t):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = f"{d}/t.parquet"
+            praw.write_file(p, t, compression="snappy", page_rows=64)
+            assert praw.read_file(p).cast(t.schema).equals(t)
+            assert pq.read_table(p).equals(t)
+
+    check()
