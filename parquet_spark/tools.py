@@ -4,13 +4,17 @@ table's snapshot, per-column codec/size rollup, and per-block "page
 headers" without decoding any values.
 
 Usage:
-    python -m parquet_spark.tools snapshot  <table_path>
-    python -m parquet_spark.tools metadata  <table_path>
-    python -m parquet_spark.tools blocks    <table_path> [column]
+    python -m parquet_spark.tools snapshot     <table_path>
+    python -m parquet_spark.tools metadata     <table_path>
+    python -m parquet_spark.tools blocks       <table_path> [column]
+    python -m parquet_spark.tools parquet-meta <file.parquet>
 
 All output is JSON lines (machine-readable, like the reference CLI's JSON
 dumps). `metadata`/`blocks` only read the manifest and the blocks' `meta`
 column — the payload binary columns are pruned out of the scan.
+`parquet-meta` parses a standards Parquet file's thrift footer with the
+engine's own raw reader (sources/parquet_raw.py) — works on any writer's
+output, no Spark session needed.
 """
 
 from __future__ import annotations
@@ -76,8 +80,46 @@ def cmd_blocks(path: str, column: str | None = None) -> None:
         print(json.dumps(r.asDict()))
 
 
+def cmd_parquet_meta(path: str) -> None:
+    """Footer summary of any standards Parquet file, via the raw parser."""
+    from parquet_spark.sources import parquet_raw as praw
+
+    meta = praw.read_metadata(path)["meta"]
+    type_names = {0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96", 4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED"}
+    rep_names = {0: "REQUIRED", 1: "OPTIONAL", 2: "REPEATED"}
+    out = {
+        "version": meta.get(1),
+        "num_rows": meta.get(3),
+        "created_by": (meta.get(6) or b"").decode(errors="replace"),
+        "n_row_groups": len(meta.get(4, [])),
+        "schema": [
+            {
+                "name": e[4].decode(),
+                "type": type_names.get(e.get(1), e.get(1)),
+                "repetition": rep_names.get(e.get(3), e.get(3)),
+            }
+            for e in meta.get(2, [])[1:]
+        ],
+    }
+    print(json.dumps(out))
+    for gi, rg in enumerate(meta.get(4, [])):
+        for chunk in rg.get(1, []):
+            cm = chunk.get(3, {})
+            print(json.dumps({
+                "row_group": gi,
+                "column": ".".join(p.decode() for p in cm.get(3, [])),
+                "type": type_names.get(cm.get(1), cm.get(1)),
+                "codec_id": cm.get(4),
+                "num_values": cm.get(5),
+                "uncompressed": cm.get(6),
+                "compressed": cm.get(7),
+                "data_page_offset": cm.get(9),
+                "dict_page_offset": cm.get(11),
+            }))
+
+
 def main(argv: list[str]) -> None:
-    if len(argv) < 2 or argv[0] not in ("snapshot", "metadata", "blocks"):
+    if len(argv) < 2 or argv[0] not in ("snapshot", "metadata", "blocks", "parquet-meta"):
         print(__doc__)
         raise SystemExit(2)
     cmd, path = argv[0], argv[1]
@@ -85,6 +127,8 @@ def main(argv: list[str]) -> None:
         cmd_snapshot(path)
     elif cmd == "metadata":
         cmd_metadata(path)
+    elif cmd == "parquet-meta":
+        cmd_parquet_meta(path)
     else:
         cmd_blocks(path, argv[2] if len(argv) > 2 else None)
 

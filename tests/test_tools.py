@@ -43,3 +43,29 @@ def test_blocks_dump_filtered(spark, table, capsys):
     cmd_blocks(table, "tokens")
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert rows and all(r["column"] == "tokens" for r in rows)
+
+
+def test_parquet_meta_dump(tmp_path, capsys):
+    """The raw-footer inspector parses any writer's file — ours and
+    pyarrow's — with no Spark session."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw as praw
+    from parquet_spark.tools import cmd_parquet_meta
+
+    t = pa.table({"x": pa.array(np.arange(10, dtype=np.int64))})
+    ours = str(tmp_path / "ours.parquet")
+    theirs = str(tmp_path / "theirs.parquet")
+    praw.write_file(ours, t)
+    pq.write_table(t, theirs)
+    for path, expect_creator in ((ours, "parquet_spark"), (theirs, "parquet-cpp")):
+        cmd_parquet_meta(path)
+        lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert lines[0]["num_rows"] == 10
+        assert expect_creator in lines[0]["created_by"]
+        assert lines[0]["schema"][0] == {"name": "x", "type": "INT64", "repetition": "OPTIONAL"}
+        assert lines[1]["num_values"] == 10
