@@ -13,16 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 
-_WEIGHTS_CACHE: dict[int, np.ndarray] = {}
-
-
-def _weights(width: int) -> np.ndarray:
-    w = _WEIGHTS_CACHE.get(width)
-    if w is None:
-        w = (np.uint64(1) << np.arange(width, dtype=np.uint64)).astype(np.uint64)
-        _WEIGHTS_CACHE[width] = w
-    return w
-
 
 def pack(vals: np.ndarray, width: int) -> bytes:
     """Pack unsigned values into ceil(n*width/8) bytes, LSB-first.
