@@ -146,6 +146,14 @@ def _q_roundtrip_nested_struct(spark, sf_dir):
     )
 
 
+def _q_roundtrip_embeddings(spark, sf_dir):
+    """array<float> embeddings through the recursive block tree (list
+    child block of float32 leaves) — float payloads must round-trip
+    bit-exactly, the same invariant the token arrays carry."""
+    df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return _roundtrip(df)
+
+
 def _q_roundtrip_uint64_extremes(spark, sf_dir):
     """Unsigned-integer parity at the Spark boundary: the reference
     supports uint32/uint64 end-to-end (/root/reference/README.md:116-129,
@@ -360,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_timestamps": _q_roundtrip_timestamps,
         "roundtrip_auto_all": _q_roundtrip_auto_all,
         "roundtrip_nested_struct": _q_roundtrip_nested_struct,
+        "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_uint64_extremes": _q_roundtrip_uint64_extremes,
         "roundtrip_pruned_read": _q_roundtrip_pruned_read,
         "interop_parquet_write": _q_interop_parquet_write,
@@ -408,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, "
             "l_quantity, l_extendedprice FROM lineitem"
         ),
+        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
         "roundtrip_uint64_extremes": (
             "SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 "
             "THEN CAST(-9223372036854775807 - 1 AS BIGINT) + o_orderkey "
