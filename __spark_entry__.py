@@ -294,6 +294,18 @@ def _q_text_fingerprints(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_quality_filter(spark, sf_dir):
+    from parquet_spark.pipeline import textops
+
+    return textops.quality_filter(_t(spark, sf_dir, "documents"), min_score=0.5)
+
+
+def _q_text_sample_by_hash(spark, sf_dir):
+    from parquet_spark.pipeline import textops
+
+    return textops.sample_by_hash(_t(spark, sf_dir, "documents"), rate=0.25)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from parquet_spark.pipeline import dedup
 
@@ -382,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": _q_text_quality,
         "text_language_id": _q_text_langid,
         "text_fingerprints": _q_text_fingerprints,
+        "text_quality_filter": _q_text_quality_filter,
+        "text_sample_by_hash": _q_text_sample_by_hash,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -479,6 +493,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_quality_scores": textops.quality_scores_oracle(),
         "text_language_id": textops.language_id_oracle(),
         "text_fingerprints": textops.fingerprints_oracle(),
+        "text_quality_filter": textops.quality_filter_oracle(min_score=0.5),
+        "text_sample_by_hash": textops.sample_by_hash_oracle(rate=0.25),
         "dedup_exact": dedup.dedup_exact_oracle(),
         # "auto" replicates the default-on df cap (skew control) in SQL
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto"),

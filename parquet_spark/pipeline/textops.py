@@ -170,3 +170,48 @@ def fingerprints_oracle(table: str = "documents", text_col: str = "text", id_col
     return (
         f"SELECT {id_col}, {fold(text_col)} AS fp_full, {min_gram} AS fp_min_kgram FROM {table}"
     )
+
+
+def quality_filter(
+    df: DataFrame, min_score: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The most-used curation op: keep documents whose composite quality
+    score clears the threshold. Pure expression tree over quality_scores —
+    one scan, no shuffle, whole-stage codegen."""
+    scored = quality_scores(df, text_col, id_col)
+    return scored.filter(F.col("quality_score") >= min_score).select(id_col, "quality_score")
+
+
+def quality_filter_oracle(
+    table: str = "documents", min_score: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    inner = quality_scores_oracle(table, text_col, id_col)
+    return (
+        f"SELECT {id_col}, quality_score FROM ({inner}) q "
+        f"WHERE quality_score >= {min_score}"
+    )
+
+
+def sample_by_hash(
+    df: DataFrame, rate: float = 0.25, id_col: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Deterministic corpus subsampling: keep a document iff the top 32
+    bits of md5(salt || id) fall below rate * 2^32. Unlike sample()/rand()
+    this is reproducible across engines, runs, and partitionings — the
+    property a training-data pipeline needs for holdout splits — and both
+    Spark and DuckDB compute the identical md5, so it is oracle-exact."""
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast("long")
+    return df.select(F.col(id_col), bucket.alias("hash_bucket")).filter(
+        F.col("hash_bucket") < F.lit(int(rate * (1 << 32)))
+    )
+
+
+def sample_by_hash_oracle(
+    table: str = "documents", rate: float = 0.25, id_col: str = "doc_id", salt: str = "s0"
+) -> str:
+    thr = int(rate * (1 << 32))
+    bucket = f"CAST('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT)"
+    return (
+        f"SELECT {id_col}, {bucket} AS hash_bucket "
+        f"FROM {table} WHERE {bucket} < {thr}"
+    )

@@ -333,3 +333,26 @@ def test_dedup_components_oracle(docs, ddb):
         dedup.dedup_components(pairs), ddb,
         dedup.dedup_components_oracle(dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto")),
     )
+
+
+def test_quality_filter_oracle(docs, ddb):
+    from parquet_spark.pipeline import textops
+
+    assert_oracle_match(
+        textops.quality_filter(docs, min_score=0.5), ddb,
+        textops.quality_filter_oracle(min_score=0.5),
+    )
+
+
+def test_sample_by_hash_oracle_and_determinism(spark, docs, ddb):
+    from parquet_spark.pipeline import textops
+
+    out = textops.sample_by_hash(docs, rate=0.25)
+    assert_oracle_match(out, ddb, textops.sample_by_hash_oracle(rate=0.25))
+    # deterministic across runs and partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in textops.sample_by_hash(docs.repartition(7), rate=0.25).collect())
+    assert a == b
+    # rate lands near the target
+    n = docs.count()
+    assert 0.1 * n <= len(a) <= 0.4 * n
