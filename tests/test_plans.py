@@ -54,3 +54,19 @@ def test_explain_reasons_are_populated(spark):
     # beats for_bp (14-bit offsets); either is a sound choice
     assert plan["narrow_range"]["codec"] in ("for_bp", "delta_bp")
     assert plan["flag"]["codec"] == "plain" and plan["flag"]["est_bytes_per_value"] == 0.125
+
+
+def test_encode_pipeline_single_shuffle(spark):
+    """The 100-TB shape claim in README: write_encoded's lineage is ONE
+    wide shuffle (the salted repartition) followed by a mapInArrow encode
+    — no hidden Exchange is allowed to sneak in between."""
+    from parquet_spark.operators.encode import encode_table
+    from parquet_spark.operators.repartition import salted_repartition
+    from parquet_spark.sources.synth import sequences_df
+
+    df = sequences_df(spark, 2000, seed=3, n_partitions=4)
+    salted, _ = salted_repartition(df, 8)
+    plan = encode_table(salted)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == 1, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "mapInArrow" in plan, plan
