@@ -43,6 +43,8 @@ def plan_salted_buckets(
             # weight column missing -> retry with row counts
             return plan_salted_buckets(df, target_partitions, source_col, None)
         return [(None, 0, target_partitions)]
+    if not rows:  # empty input: uniform hash plan (encode of 0 rows is valid)
+        return [(None, 0, target_partitions)]
     rows.sort(key=lambda r: (r[_SRC] is None, r[_SRC]))
     total = sum(r["w"] for r in rows if r["w"] is not None) or 1
     plan: list[tuple[str, int, int]] = []

@@ -68,3 +68,19 @@ def test_bucket_deterministic_across_calls(spark):
     ba = {r.doc_id: r["__bucket"] for r in a.collect()}
     bb = {r.doc_id: r["__bucket"] for r in b.collect()}
     assert ba == bb
+
+
+def test_empty_dataframe_roundtrip(spark, tmp_path):
+    """Encoding zero rows is valid: the table is created with its schema,
+    reads back as an empty DataFrame, and resume treats it as complete."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    df = sequences_df(spark, 100, seed=1, n_partitions=2).limit(0)
+    path = str(tmp_path / "empty_t")
+    res = write_encoded(df, path, target_partitions=4, resume=False, fingerprint="fe")
+    assert res["buckets_skipped"] == 0
+    back = read_encoded(spark, path)
+    assert back.count() == 0
+    assert back.columns == df.columns
