@@ -326,3 +326,46 @@ def write_encoded(
         manifest_from_blocks(data_meta).write.mode("overwrite").parquet(man_dir)
     write_snapshot(path, df.schema.json(), columns, fp, {"n_buckets": n_buckets, "block_rows": block_rows})
     return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
+
+
+def append_encoded(
+    df: DataFrame,
+    path: str,
+    target_partitions: int = 64,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    codecs: dict | None = None,
+    source_col: str = "source",
+    salt_key: str = "doc_id",
+    weight_col: str | None = "n_tok",
+) -> dict:
+    """Batch append: encode `df` as a new immutable batch directory
+    (`data/batch=<n>`) next to the existing ones — the same layout and
+    code path as the streaming sink, so batch and streaming ingestion
+    compose on one table. `read_encoded` reads the union through parquet
+    partition discovery (stats pruning included); `compact_table` folds
+    fragmented batches back into full blocks. To replace a table
+    wholesale use `write_encoded`; the flat and batch layouts must not be
+    mixed under one path (this function refuses a flat table)."""
+    import re
+
+    from parquet_spark.streaming.encode_stream import StreamingEncoder
+
+    data_dir = os.path.join(path, "data")
+    next_id = 0
+    if os.path.isdir(data_dir):
+        entries = os.listdir(data_dir)
+        ids = [int(m.group(1)) for d in entries if (m := re.match(r"batch=(\d+)$", d))]
+        if not ids and any(not e.startswith(("_", ".")) for e in entries):
+            raise ValueError(
+                f"{path} holds a flat write_encoded table; append_encoded "
+                "requires the batch layout (create the table with "
+                "append_encoded or the streaming sink)"
+            )
+        next_id = max(ids, default=-1) + 1
+    enc = StreamingEncoder(
+        path, target_partitions=target_partitions, block_rows=block_rows,
+        codecs=codecs, source_col=source_col, salt_key=salt_key, weight_col=weight_col,
+    )
+    enc._snapshot_written = os.path.exists(_snapshot_path(path))
+    enc(df, next_id)
+    return {"path": path, "batch_id": next_id}

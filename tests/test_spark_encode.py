@@ -196,3 +196,29 @@ def test_resume_appends_manifest_incrementally(spark, tmp_path):
     assert read_manifest(spark, path).groupBy("bucket", "part_id", "block_id", "column").count().where(
         F.col("count") > 1
     ).isEmpty()
+
+
+def test_append_encoded_batches_compose(spark, tmp_path):
+    """Batch appends share the streaming sink's layout: each append is an
+    immutable batch dir, read_encoded unions them (with stats pruning),
+    and appending to a flat write_encoded table is refused loudly."""
+    import pytest
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded, write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "appendable")
+    r0 = append_encoded(sequences_df(spark, 300, seed=1, n_partitions=2), path, target_partitions=4)
+    r1 = append_encoded(sequences_df(spark, 200, seed=2, n_partitions=2), path, target_partitions=4)
+    assert (r0["batch_id"], r1["batch_id"]) == (0, 1)
+    back = read_encoded(spark, path)
+    assert back.count() == 500
+    want = back.where("n_tok > 400").count()
+    got = read_encoded(spark, path, where=("n_tok", ">", 400)).count()
+    assert got == want
+
+    flat = str(tmp_path / "flat")
+    write_encoded(sequences_df(spark, 100, seed=3, n_partitions=2), flat, target_partitions=2, resume=False)
+    with pytest.raises(ValueError, match="flat"):
+        append_encoded(sequences_df(spark, 50, seed=4, n_partitions=1), flat)
