@@ -87,3 +87,48 @@ def test_stream_with_real_writestream(spark, workdir, tmp_path):
     assert out.count() > 0
     assert out.columns == ["doc_id", "tokens", "n_tok", "source"]
     assert out.filter(F.size("tokens") != 5).count() == 0
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    a duplicate arriving in a LATER batch must be dropped, and each key is
+    emitted exactly once. maxFilesPerTrigger=1 forces the two files into
+    separate micro-batches."""
+    import os
+
+    from parquet_spark.streaming.dedup_stream import streaming_dedup_exact
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  Beta")],  # 3 dups 1
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta"), (12, "gamma delta")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out = streaming_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM dedup_stream_t").collect()
+    got = {r["doc_id"] for r in rows}
+    # first occurrences only: 1 (not 3/10), 2 (not 12), 11
+    assert got == {1, 2, 11}, rows
+    assert len(rows) == 3
