@@ -356,3 +356,21 @@ def test_sample_by_hash_oracle_and_determinism(spark, docs, ddb):
     # rate lands near the target
     n = docs.count()
     assert 0.1 * n <= len(a) <= 0.4 * n
+
+
+def test_knn_ivf_recall(emb):
+    """IVF coarse quantizer (k-means lists + nprobe probing): recall vs
+    brute force must clear the same bar as the LSH tier while scoring only
+    a fraction of the corpus per query."""
+    from parquet_spark.pipeline import similarity
+
+    exact = similarity.knn_bruteforce(emb, k=5, n_queries=10).toPandas()
+    approx = similarity.knn_ivf(emb, k=5, n_queries=10, nprobe=4, n_lists=16).toPandas()
+    e = {(r.q_id, r.n_id) for r in exact.itertuples()}
+    a = {(r.q_id, r.n_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # probe cost bound: candidates scored << corpus * n_queries
+    assigns, _ = similarity.ivf_index(emb, n_lists=16)
+    sizes = assigns.groupBy("list_id").count().toPandas()["count"]
+    assert sizes.max() < emb.count()  # lists actually partition the corpus
