@@ -397,6 +397,9 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
     opt_by_name = {e[4].decode(): e.get(3, REQUIRED) == OPTIONAL for e in leaves}
     utf8_by_name = {e[4].decode(): e.get(6) == CONVERTED_UTF8 for e in leaves}
     want = columns or names
+    unknown = [c for c in want if c not in names]
+    if unknown:
+        raise KeyError(f"column(s) {unknown} not in parquet file; available: {names}")
 
     arrays: dict[str, list[pa.Array]] = {c: [] for c in want}
     for rg in meta[4]:

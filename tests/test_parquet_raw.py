@@ -193,3 +193,11 @@ def test_raw_roundtrip_fuzz():
             assert pq.read_table(p).equals(t)
 
     check()
+
+
+def test_unknown_projection_column_rejected(tmp_path):
+    t = pa.table({"x": pa.array(np.arange(5, dtype=np.int64))})
+    p = str(tmp_path / "g.parquet")
+    praw.write_file(p, t)
+    with pytest.raises(KeyError, match="nope"):
+        praw.read_file(p, columns=["nope"])
