@@ -149,9 +149,15 @@ def _q_roundtrip_nested_struct(spark, sf_dir):
 def _q_roundtrip_embeddings(spark, sf_dir):
     """array<float> embeddings through the recursive block tree (list
     child block of float32 leaves) — float payloads must round-trip
-    bit-exactly, the same invariant the token arrays carry."""
+    bit-exactly, the same invariant the token arrays carry. The result is
+    posexploded to scalar (vec_id, idx, val) rows so the driver harness can
+    canonicalize it (pandas cannot sort a raw list column), and element-wise
+    float32 bit-equality is a stronger check than a whole-array hash."""
     df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    return _roundtrip(df)
+    rt = _roundtrip(df)
+    return rt.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "val"), "label"
+    ).withColumn("idx", F.col("idx").cast("int"))
 
 
 def _q_roundtrip_uint64_extremes(spark, sf_dir):
@@ -431,7 +437,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, "
             "l_quantity, l_extendedprice FROM lineitem"
         ),
-        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "roundtrip_embeddings": (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx, "
+            "unnest(embedding) AS val, label FROM embeddings"
+        ),
         "roundtrip_uint64_extremes": (
             "SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 "
             "THEN CAST(-9223372036854775807 - 1 AS BIGINT) + o_orderkey "
