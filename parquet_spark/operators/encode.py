@@ -66,6 +66,22 @@ def _stats_cols(schema) -> list[str]:
     ]
 
 
+def _block_bucket(tbl: pa.Table) -> int:
+    """Bucket id of a single-bucket block table. The resume key assumes
+    bucket contiguity (sortWithinPartitions upstream + the batch splitter);
+    verify first == last so a dropped sort or a splitter regression fails
+    loudly instead of silently mis-assigning blocks to buckets."""
+    bcol = tbl.column(BUCKET_COL)
+    n = tbl.num_rows
+    bucket = int(bcol[0].as_py())
+    if int(bcol[n - 1].as_py()) != bucket:
+        raise ValueError(
+            f"block spans buckets {bucket}..{int(bcol[n - 1].as_py())}: "
+            "input is not sorted by __bucket within the partition"
+        )
+    return bucket
+
+
 def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool, stats_cols: list[str] | None = None):
     codec_overrides = codec_overrides or {}
     stats_cols = stats_cols or []
@@ -83,7 +99,7 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
         def encode_block(tbl: pa.Table):
             nonlocal block_id
             n = tbl.num_rows
-            bucket = int(tbl.column(BUCKET_COL)[0].as_py()) if has_bucket and n else -1
+            bucket = _block_bucket(tbl) if has_bucket and n else -1
             payloads = []
             stat_arrays = []
             metas = {}

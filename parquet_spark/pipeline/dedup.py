@@ -477,9 +477,15 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+    out = cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+    # materialize the (small) pair set so the big cached signature table can
+    # be released now instead of lingering for the session; downstream
+    # iterative consumers (dedup_components) also want a lineage-free input
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 # SimHash is fully deterministic, so it has an exact SQL oracle: DuckDB
@@ -503,6 +509,13 @@ def _fnv_fold_sql(word_expr: str) -> str:
 def simhash_oracle(
     table: str = "documents", max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
+    """All-pairs SimHash ground truth in DuckDB SQL.
+
+    ASCII-only corpus assumption: the SQL FNV fold hashes `ascii(c)` per
+    character (Unicode CODEPOINTS), while the engine's `_fnv1a_bytes`
+    hashes UTF-8 BYTES — identical only while every codepoint is < 128,
+    which holds for the synthetic documents fixture. On non-ASCII text the
+    oracle diverges by design (same caveat as media_features_oracle)."""
     words = f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), x -> x <> '')"
     vote = "list_sum(list_transform(lh, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))"
     sig = (
@@ -547,7 +560,7 @@ def dedup_components(
         .withColumn("lbl", F.col("id"))
         .cache()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # candidate label for each node: min over neighbors' labels and own
         nbr = (
             edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nl"), "b")
@@ -555,10 +568,16 @@ def dedup_components(
             .agg(F.min("nl").alias("nl"))
             .withColumnRenamed("a", "id")
         )
+        # `labels` feeds new_labels TWICE (via nbr and via the join), so a
+        # lazy plan would DOUBLE in size every round — a diameter-25 chain
+        # reaches ~2^25 logical nodes and OOMs the driver during analysis.
+        # The fixpoint count below materializes every round regardless, so
+        # an eager localCheckpoint costs nothing extra and keeps the plan
+        # constant-size: each round starts from a materialized-RDD scan.
         new_labels = (
             labels.join(nbr, "id", "left")
             .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

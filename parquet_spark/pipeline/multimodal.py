@@ -88,10 +88,14 @@ def extract_features(df: DataFrame) -> DataFrame:
             starts, ends, data = _payload_view(b)
             lens = ends - starts
             nonempty = lens > 0
-            safe_start = np.minimum(starts, max(len(data) - 1, 0))
-            safe_end = np.maximum(ends - 1, 0)
-            first = np.where(nonempty, data[safe_start].astype(np.int32), -1).astype(np.int32)
-            last = np.where(nonempty, data[safe_end].astype(np.int32), -1).astype(np.int32)
+            if len(data):
+                safe_start = np.minimum(starts, len(data) - 1)
+                safe_end = np.maximum(ends - 1, 0)
+                first = np.where(nonempty, data[safe_start].astype(np.int32), -1).astype(np.int32)
+                last = np.where(nonempty, data[safe_end].astype(np.int32), -1).astype(np.int32)
+            else:  # every payload in the batch is empty — nothing to gather
+                first = np.full(len(lens), -1, np.int32)
+                last = first
             cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
             tot = cs[ends] - cs[starts]
             yield pa.RecordBatch.from_arrays(

@@ -279,6 +279,12 @@ def knn_lsh_oracle(
 
 # ----------------------------------------------------------------- IVF tier
 
+def ivf_fit_cap(n_lists: int, max_fit_rows: int | None = None) -> int:
+    """Upper bound on k-means training rows: ~256 per centroid (FAISS
+    guidance) — quantizer quality is insensitive to more."""
+    return max_fit_rows if max_fit_rows is not None else 256 * n_lists
+
+
 def ivf_index(
     df: DataFrame,
     n_lists: int | None = None,
@@ -286,21 +292,31 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 17,
-) -> DataFrame:
-    """IVF coarse quantizer: k-means centroids (Spark ML, trained on the
-    corpus) assign every vector to its nearest-centroid list. Returns
-    (id, list_id) — the inverted-file bucketing that bounds ANN probe cost
-    to nprobe/n_lists of the corpus. n_lists=None uses the ~sqrt(n) rule
-    of thumb (FAISS guidance), so bucket size scales as sqrt(n)."""
+    max_fit_rows: int | None = None,
+) -> "tuple[DataFrame, object]":
+    """IVF coarse quantizer. Returns an (assignments, KMeansModel) TUPLE:
+    assignments is (id, list_id) — the inverted-file bucketing that bounds
+    ANN probe cost to nprobe/n_lists of the corpus; the model carries the
+    centroids for query-side probing. n_lists=None uses the ~sqrt(n) rule
+    of thumb (FAISS guidance), so bucket size scales as sqrt(n).
+
+    The k-means FIT trains on a sample capped at ivf_fit_cap(n_lists)
+    rows (~256 per centroid): at 10⁹ vectors a full-corpus fit would
+    dominate the whole index build while adding nothing to recall — only
+    the cheap transform (assignment) touches every vector. One count job
+    total, reused for n_lists and the sample fraction."""
     import math
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n = df.count()
     if n_lists is None:
-        n_lists = max(4, min(4096, int(math.sqrt(df.count()))))
+        n_lists = max(4, min(4096, int(math.sqrt(n))))
     feats = df.select(F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    cap = ivf_fit_cap(n_lists, max_fit_rows)
+    fit_input = feats if n <= cap else feats.sample(fraction=min(1.0, cap / n), seed=seed)
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(fit_input)
     return model.transform(feats).select("id", F.col("prediction").alias("list_id")), model
 
 

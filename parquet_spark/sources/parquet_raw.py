@@ -281,6 +281,14 @@ def write_file(
         for (name, phys, field), col in zip(cols, table.columns):
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             optional = field.nullable
+            if not optional and arr.null_count:
+                # a REQUIRED column writes no def levels, so nulls here would
+                # silently produce a value stream shorter than num_values —
+                # an unreadable file; fail at write time instead
+                raise ValueError(
+                    f"column {name!r} is declared non-nullable but holds "
+                    f"{arr.null_count} null(s)"
+                )
             data_page_offset = offset
             total_comp = total_uncomp = 0
             n_pages = 0
@@ -396,7 +404,8 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
     phys_by_name = {e[4].decode(): e[1] for e in leaves}
     opt_by_name = {e[4].decode(): e.get(3, REQUIRED) == OPTIONAL for e in leaves}
     utf8_by_name = {e[4].decode(): e.get(6) == CONVERTED_UTF8 for e in leaves}
-    want = columns or names
+    # None = all columns; an explicit [] is an (honored) empty projection
+    want = names if columns is None else list(columns)
     unknown = [c for c in want if c not in names]
     if unknown:
         raise KeyError(f"column(s) {unknown} not in parquet file; available: {names}")

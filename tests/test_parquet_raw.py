@@ -201,3 +201,22 @@ def test_unknown_projection_column_rejected(tmp_path):
     praw.write_file(p, t)
     with pytest.raises(KeyError, match="nope"):
         praw.read_file(p, columns=["nope"])
+
+
+def test_write_file_rejects_nulls_in_required(tmp_path):
+    """A non-nullable field holding nulls must fail AT WRITE TIME — a
+    REQUIRED column writes no def levels, so the file would be unreadable."""
+    schema = pa.schema([pa.field("x", pa.int64(), nullable=False)])
+    bad = pa.Table.from_arrays([pa.array([1, None, 3], pa.int64())], schema=schema)
+    with pytest.raises(ValueError, match="non-nullable"):
+        praw.write_file(str(tmp_path / "bad.parquet"), bad)
+
+
+def test_read_file_empty_projection(tmp_path, mixed_table):
+    """An explicit empty projection returns zero columns (not ALL columns —
+    regression: `columns or names` conflated [] with None)."""
+    p = str(tmp_path / "t.parquet")
+    praw.write_file(p, mixed_table)
+    got = praw.read_file(p, columns=[])
+    assert got.num_columns == 0
+    assert praw.read_file(p, columns=None).num_columns == mixed_table.num_columns

@@ -222,3 +222,19 @@ def test_append_encoded_batches_compose(spark, tmp_path):
     write_encoded(sequences_df(spark, 100, seed=3, n_partitions=2), flat, target_partitions=2, resume=False)
     with pytest.raises(ValueError, match="flat"):
         append_encoded(sequences_df(spark, 50, seed=4, n_partitions=1), flat)
+
+
+def test_block_bucket_contiguity_guard():
+    """The encode kernel takes a block's bucket from element 0 — valid only
+    while blocks are single-bucket (upstream sort + batch splitter). The
+    guard must fail loudly on a mixed-bucket block instead of silently
+    mis-assigning the resume key."""
+    import pyarrow as pa
+
+    from parquet_spark.operators.encode import BUCKET_COL, _block_bucket
+
+    ok = pa.table({BUCKET_COL: pa.array([3, 3, 3], pa.int32())})
+    assert _block_bucket(ok) == 3
+    mixed = pa.table({BUCKET_COL: pa.array([3, 3, 4], pa.int32())})
+    with pytest.raises(ValueError, match="not sorted by __bucket"):
+        _block_bucket(mixed)
