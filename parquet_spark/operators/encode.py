@@ -276,6 +276,135 @@ def dataset_fingerprint(df: DataFrame, explicit: str | None = None) -> str:
     return f"fp-{h:08x}-{len(files)}"
 
 
+_NARROW_NODES = {"Project", "Filter", "Relation", "SubqueryAlias", "View", "ResolvedHint"}
+
+
+def _parse_bytes_conf(v: str, default: int) -> int:
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    s = v.strip().lower()
+    for suf, mult in units.items():
+        if s.endswith(suf):
+            try:
+                return int(float(s.rstrip("kmgb")) * mult)
+            except ValueError:
+                break
+    return default
+
+
+def _scan_is_byte_balanced(df: DataFrame) -> bool | None:
+    """Zero-job balance check for bare file-scan DataFrames.
+
+    Spark's split planner chops splittable files (parquet/orc) into pieces
+    of at most maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism)) and packs them, so every scan
+    partition holds ≤ maxSplitBytes — byte-balance is guaranteed by the
+    planner, no data scan needed. Returns True/False when the plan is a
+    pure narrow pipeline over a parquet/orc relation (so scan partitions
+    ARE the df's partitions) AND the packing simulation is balanced and
+    above the fragmentation floor; None in every other case (then the
+    caller falls back to the measured probe job)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    splittable = False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if not node:
+            continue
+        if node == "Relation":
+            # only splittable columnar formats give the balance guarantee
+            splittable = " parquet" in line or " orc" in line
+            if not splittable:
+                return None
+            continue
+        if node not in _NARROW_NODES:
+            return None
+    if not splittable:
+        return None
+    conf = df.sparkSession.conf
+    max_part = _parse_bytes_conf(conf.get("spark.sql.files.maxPartitionBytes", "128m"), 128 << 20)
+    open_cost = _parse_bytes_conf(conf.get("spark.sql.files.openCostInBytes", "4m"), 4 << 20)
+    files = [f for f in df.inputFiles() if f.startswith("file:")]
+    if not files or len(files) != len(df.inputFiles()):
+        return None  # non-local storage: sizes not cheaply known here
+    total = 0
+    try:
+        for f in files:
+            total += os.path.getsize(f[len("file:"):])
+    except OSError:
+        return None
+    if total == 0:
+        return None
+    par = df.sparkSession.sparkContext.defaultParallelism
+    max_split = min(max_part, max(open_cost, (total + len(files) * open_cost) // max(par, 1)))
+    # replicate the planner's packing: chop each file into ≤max_split
+    # pieces, sort desc, greedy-fill partitions (openCost pads the fill
+    # accounting but not the real bytes)
+    pieces = []
+    try:
+        for f in files:
+            sz = os.path.getsize(f[len("file:"):])
+            while sz > 0:
+                pieces.append(min(sz, max_split))
+                sz -= max_split
+    except OSError:
+        return None
+    pieces.sort(reverse=True)
+    parts: list[float] = []
+    cur = padded = 0.0
+    for p in pieces:
+        if padded + p > max_split and cur > 0:
+            parts.append(cur)
+            cur = padded = 0.0
+        cur += p
+        padded += p + open_cost
+    if cur:
+        parts.append(cur)
+    npart = df.rdd.getNumPartitions()
+    if not parts or len(parts) != npart:
+        return None  # our packing model disagrees with the real planner
+    mean = total / len(parts)
+    # only the happy verdict short-circuits; a static "no" (imbalance, or
+    # partitions under the ~1 MB fragmentation floor) defers to the
+    # measured row-weight probe, which judges with the real weight column
+    if max(parts) <= 2.0 * mean and mean >= open_cost / 4:
+        return True
+    return None
+
+
+def _partition_balance(df: DataFrame, weight_col: str | None) -> dict | None:
+    """One probe job: per-input-partition weight balance. Returns
+    {n_parts, n_rows, max_w, mean_w} or None when the probe can't run
+    (empty input). Cost is a columnar scan of the weight column with a
+    map-side partial agg — O(partitions) rows ever reach the driver-side
+    final agg, and only ONE row is collected."""
+    from pyspark.sql.utils import AnalysisException
+
+    pid = F.spark_partition_id().alias("__pid")
+    try:
+        w = F.sum(F.expr(weight_col)).alias("w") if weight_col else F.count("*").alias("w")
+        per = df.groupBy(pid).agg(w, F.count("*").alias("n"))
+    except AnalysisException:
+        if weight_col is not None:
+            return _partition_balance(df, None)
+        return None
+    row = per.agg(
+        F.max("w").alias("max_w"), F.avg("w").alias("mean_w"),
+        F.sum("n").alias("n_rows"), F.count("*").alias("n_parts"),
+    ).collect()[0]
+    if row["n_parts"] == 0 or not row["mean_w"]:
+        return None
+    return {
+        "n_parts": int(row["n_parts"]), "n_rows": int(row["n_rows"]),
+        "max_w": float(row["max_w"]), "mean_w": float(row["mean_w"]),
+    }
+
+
 def write_encoded(
     df: DataFrame,
     path: str,
@@ -289,31 +418,94 @@ def write_encoded(
     salt_key: str = "doc_id",
     weight_col: str | None = "n_tok",
     cluster_col: str | None = None,
+    bucket_mode: str = "auto",
+    balance_threshold: float = 2.0,
 ) -> dict:
-    """Full encode pipeline: salted repartition → encode → data + manifest +
+    """Full encode pipeline: partitioning → encode → data + manifest +
     snapshot. Resumable: re-running after a partial failure anti-joins the
     completed buckets out of the input and appends only the missing ones.
     `cluster_col` orders rows within each bucket so blocks carry tight
     min/max ranges on that column (see read_encoded(where=...)).
 
+    Skew management is explicit and measured, not assumed (north rule):
+
+    - bucket_mode="auto" (default) runs a one-job probe of WEIGHT PER INPUT
+      PARTITION. Encode is embarrassingly parallel over rows, so what
+      imbalances tasks is bytes-per-partition — NOT source skew: a Zipfian
+      `source` column is harmless when the scan's byte-based file splits
+      already spread it (Spark splits files at maxPartitionBytes). When
+      max ≤ balance_threshold × mean, encode runs ZERO-SHUFFLE on the
+      input partitions as-is (bucket = spark_partition_id — the same plan
+      shape as a plain parquet write); imbalanced inputs (hot upstream
+      keys, unsplittable files) take the salted shuffle.
+    - bucket_mode="salted" always shuffles on the weighted salted bucket
+      (the resume key is then a pure function of (source, salt_key)).
+    - bucket_mode="partition" forces zero-shuffle.
+
+    Partition-mode resume relies on Spark's deterministic partition
+    planning (same input files + same session confs → same splits); the
+    snapshot records the mode and partition count, and a resume whose
+    current partition count differs from the recorded one falls back to a
+    full re-encode instead of trusting stale bucket ids.
+
     Returns a summary dict (buckets encoded/skipped, manifest path)."""
+    if bucket_mode not in ("auto", "salted", "partition"):
+        raise ValueError(f"bucket_mode {bucket_mode!r} not in ('auto', 'salted', 'partition')")
     spark = df.sparkSession
     fp = dataset_fingerprint(df, fingerprint)
     columns = [c for c in df.columns]
     if target_partitions is None:
         target_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
-    salted, n_buckets = salted_repartition(
-        df, target_partitions, source_col=source_col, salt_key=salt_key,
-        weight_col=weight_col, cluster_col=cluster_col,
-    )
-
     data_dir = os.path.join(path, "data")
     man_dir = os.path.join(path, "manifest")
+    snap = read_snapshot(path) if resume else None
+    resuming = bool(snap and snap.get("fingerprint") == fp and os.path.exists(data_dir))
+
+    npart = df.rdd.getNumPartitions()
+    chosen = bucket_mode
+    if resuming:
+        # resume MUST reuse the recorded mode: re-probing could flip the
+        # decision and silently change what a bucket id means
+        chosen = snap.get("bucket_mode", "salted")
+        if chosen == "partition" and npart != snap.get("n_buckets"):
+            # partition planning changed (different confs/parallelism) —
+            # recorded bucket ids are meaningless; re-encode from scratch
+            resuming = False
+            chosen = bucket_mode
+    if chosen == "auto":
+        chosen = "salted"
+        enough_parts = npart >= max(4, target_partitions // 2)
+        scan_ok = _scan_is_byte_balanced(df) if enough_parts else False
+        if scan_ok:
+            # bare splittable scan: the split planner's byte-balance
+            # guarantee holds, no probe job needed
+            chosen = "partition"
+        elif scan_ok is None:
+            # partitioning not reasoned about statically — measure it
+            bal = _partition_balance(df, weight_col)
+            if (
+                bal is not None
+                and bal["max_w"] <= balance_threshold * bal["mean_w"]
+                and bal["n_parts"] >= max(4, target_partitions // 2)
+                and bal["n_rows"] / bal["n_parts"] >= block_rows / 4
+            ):
+                chosen = "partition"
+
+    if chosen == "partition":
+        salted = df.withColumn(BUCKET_COL, F.spark_partition_id())
+        if cluster_col:
+            salted = salted.sortWithinPartitions(cluster_col)
+        n_buckets = max(npart, 1)
+    else:
+        salted, n_buckets = salted_repartition(
+            df, target_partitions, source_col=source_col, salt_key=salt_key,
+            weight_col=weight_col, cluster_col=cluster_col,
+        )
+
     skipped = 0
     mode = "overwrite"
-    snap = read_snapshot(path) if resume else None
-    if snap and snap.get("fingerprint") == fp and os.path.exists(data_dir):
+    if resuming:
         # completed buckets come from the DATA dir (the source of truth —
         # a crash between the data and manifest writes must not cause a
         # re-encode and duplicate rows); the scan is meta-only, so Catalyst
@@ -332,7 +524,11 @@ def write_encoded(
     # does not know yet (at 10⁶ blocks a full rebuild per resume would
     # re-read and re-write every historical entry). This also heals a
     # manifest left behind by a crash after the data write.
-    data_meta = spark.read.parquet(data_dir).select("bucket", "part_id", "block_id", "meta")
+    # partial explicit schema: skips inference AND projects at scan time —
+    # the payload binary columns are never touched
+    data_meta = spark.read.schema(
+        "bucket int, part_id int, block_id long, meta string"
+    ).parquet(data_dir)
     if mode == "append" and os.path.exists(man_dir):
         known = spark.read.schema(MANIFEST_DDL).parquet(man_dir).select("bucket").distinct()
         fresh = data_meta.join(F.broadcast(known), "bucket", "left_anti")
@@ -340,7 +536,10 @@ def write_encoded(
             manifest_from_blocks(fresh).write.mode("append").parquet(man_dir)
     else:
         manifest_from_blocks(data_meta).write.mode("overwrite").parquet(man_dir)
-    write_snapshot(path, df.schema.json(), columns, fp, {"n_buckets": n_buckets, "block_rows": block_rows})
+    write_snapshot(
+        path, df.schema.json(), columns, fp,
+        {"n_buckets": n_buckets, "block_rows": block_rows, "bucket_mode": chosen},
+    )
     return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
 
 

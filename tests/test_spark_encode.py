@@ -238,3 +238,56 @@ def test_block_bucket_contiguity_guard():
     mixed = pa.table({BUCKET_COL: pa.array([3, 3, 4], pa.int32())})
     with pytest.raises(ValueError, match="not sorted by __bucket"):
         _block_bucket(mixed)
+
+
+def test_bucket_mode_auto_balanced_goes_zero_shuffle(spark, seq_path, tmp_path):
+    """Balanced input partitions → auto picks partition mode: no shuffle,
+    bucket = input partition id, snapshot records the mode."""
+    from parquet_spark.operators.encode import read_snapshot
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(seq_path)
+    npart = df.rdd.getNumPartitions()
+    path = str(tmp_path / "enc_pm")
+    # small fixture: shrink block_rows so the anti-fragmentation guard
+    # (rows/partition >= block_rows/4) doesn't veto partition mode
+    write_encoded(df, path, target_partitions=npart, fingerprint="pm1", resume=False, block_rows=1024)
+    snap = read_snapshot(path)
+    assert snap["bucket_mode"] == "partition"
+    assert snap["n_buckets"] == npart
+    data = spark.read.parquet(os.path.join(path, "data"))
+    buckets = {r["bucket"] for r in data.select("bucket").distinct().collect()}
+    assert buckets == set(range(npart))
+    # round-trip integrity unchanged by the zero-shuffle plan
+    crc = lambda d: d.agg(F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string")))).alias("c")).collect()[0]["c"]
+    assert crc(read_encoded(spark, path)) == crc(df)
+
+
+def test_bucket_mode_auto_skewed_takes_salted_shuffle(spark, tmp_path):
+    """One partition holding ~all the weight → auto falls back to the
+    salted shuffle (explicit skew management, not AQE)."""
+    from parquet_spark.operators.encode import read_snapshot
+
+    # 8 partitions, but every row hash-routed to one of 2 → max weight
+    # far above 2x the mean across the 8 planned partitions
+    df = sequences_df(spark, 2000, seed=7, n_partitions=1, mean_tokens=32).repartition(8, "source")
+    path = str(tmp_path / "enc_skew")
+    write_encoded(df, path, target_partitions=8, fingerprint="sk1", resume=False)
+    assert read_snapshot(path)["bucket_mode"] == "salted"
+
+
+def test_partition_mode_resume_mismatched_partitions_reencodes(spark, seq_path, tmp_path):
+    """A resume whose current partition count differs from the recorded
+    one must NOT trust stale bucket ids — it re-encodes from scratch."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(seq_path)
+    path = str(tmp_path / "enc_pm_resume")
+    write_encoded(df, path, target_partitions=4, fingerprint="pmr", resume=False, bucket_mode="partition")
+    # same fingerprint, different partitioning of the same rows
+    df2 = df.coalesce(2)
+    write_encoded(df2, path, target_partitions=4, fingerprint="pmr", resume=True, bucket_mode="partition")
+    dec = read_encoded(spark, path)
+    assert dec.count() == df.count()  # no dup/loss from stale bucket skips
+    crc = lambda d: d.agg(F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string")))).alias("c")).collect()[0]["c"]
+    assert crc(dec) == crc(df)
