@@ -239,6 +239,29 @@ def _q_interop_parquet_read(spark, sf_dir):
     return spark.createDataFrame(back.to_pandas(), schema=df.schema)
 
 
+def _q_interop_parquet_list(spark, sf_dir):
+    """Interop of REPEATED columns (reference fields.go:232-271, dremel/
+    write_repeated.go:104-127): the raw writer shreds an array<float>
+    column into rep/def level streams (shared RLE kernel) inside real v1
+    data pages; PYARROW (third-party) re-reads the file and the values
+    must match element-wise. Result is posexploded to scalar rows for the
+    driver canonicalizer, same as roundtrip_embeddings."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/list.parquet"
+    parquet_raw.write_file(path, df.toArrow(), compression="snappy")
+    back = pq.read_table(path)  # third-party reader proves the layout
+    rt = spark.createDataFrame(back)  # Arrow path keeps float32 exact
+    return rt.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "val"), "label"
+    ).withColumn("idx", F.col("idx").cast("int"))
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -391,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_pruned_read": _q_roundtrip_pruned_read,
         "interop_parquet_write": _q_interop_parquet_write,
         "interop_parquet_read": _q_interop_parquet_read,
+        "interop_parquet_list": _q_interop_parquet_list,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -452,6 +476,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interop_parquet_write": _INTEROP_SQL,
         "interop_parquet_read": _INTEROP_SQL,
+        "interop_parquet_list": (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx, "
+            "unnest(embedding) AS val, label FROM embeddings"
+        ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from
         # Spark's int64 even when every value agrees

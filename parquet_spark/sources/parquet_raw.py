@@ -45,7 +45,9 @@ ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_BIT_PACKED, ENC_RLE_DICT = 0, 2, 3, 4, 8
 CODEC_IDS = {"none": 0, "snappy": 1, "gzip": 2, "lz4": 5, "zstd": 6}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 PAGE_DATA, PAGE_INDEX, PAGE_DICT, PAGE_DATA_V2 = 0, 1, 2, 3
-CONVERTED_UTF8 = 0
+# ConvertedType enum (public parquet-format spec order)
+CONVERTED_UTF8, CONVERTED_LIST = 0, 3
+CONVERTED_UINT_32, CONVERTED_UINT_64 = 13, 14
 
 _PA_TO_PHYS = {
     pa.bool_(): T_BOOLEAN,
@@ -55,8 +57,22 @@ _PA_TO_PHYS = {
     pa.float64(): T_DOUBLE,
     pa.string(): T_BYTE_ARRAY,
     pa.binary(): T_BYTE_ARRAY,
+    # unsigned ints: stored as the same-width two's-complement physical
+    # type, annotated with ConvertedType UINT_* so foreign readers recover
+    # the unsigned semantics (ref cmd/parquetgen/gen/template.go:464-481)
+    pa.uint32(): T_INT32,
+    pa.uint64(): T_INT64,
+}
+_PA_CONVERTED = {
+    pa.string(): CONVERTED_UTF8,
+    pa.uint32(): CONVERTED_UINT_32,
+    pa.uint64(): CONVERTED_UINT_64,
 }
 _PHYS_NP = {T_INT32: np.int32, T_INT64: np.int64, T_FLOAT: np.float32, T_DOUBLE: np.float64}
+
+
+def _bit_width(v: int) -> int:
+    return max(int(v).bit_length(), 1)
 
 
 # ===================================================== thrift compact protocol
@@ -256,6 +272,43 @@ def _def_levels(arr: pa.Array) -> bytes:
     return rle.encode(valid, 1)
 
 
+def _list_levels(arr: pa.ListArray, outer_optional: bool, elem_optional: bool):
+    """Dremel shredding of a one-level list column (the write side of
+    /root/reference/fields.go:232-271 and dremel/write_repeated.go:104-127,
+    vectorized): returns (rep, defs, dense_values, n_entries).
+
+    Level meanings for `optional list<element>` (3-level LIST layout):
+      rep 0 = new row, 1 = continuation within the row
+      def 0 = null list, 1 = empty list, 2 = element slot
+      (+1 when the element itself is optional: 2 = null element, 3 = value)
+    """
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    lens = pc.list_value_length(arr).fill_null(0).to_numpy().astype(np.int64)
+    null_rows = np.asarray(arr.is_null()) if arr.null_count else np.zeros(n, bool)
+    d_list = 1 if outer_optional else 0
+    d_entry = d_list + 1
+    d_valid = d_entry + (1 if elem_optional else 0)
+    entries_per_row = np.maximum(lens, 1)
+    total = int(entries_per_row.sum())
+    row_starts = np.zeros(n, np.int64)
+    np.cumsum(entries_per_row[:-1], out=row_starts[1:])
+    rep = np.ones(total, np.uint64)
+    rep[row_starts] = 0
+    is_elem = np.ones(total, bool)
+    degenerate = lens == 0
+    is_elem[row_starts[degenerate]] = False
+    defs = np.empty(total, np.uint64)
+    defs[~is_elem] = np.where(null_rows[degenerate], 0, d_list)
+    values = arr.flatten()  # element slots of non-null rows, in row order
+    if elem_optional and values.null_count:
+        defs[is_elem] = d_entry + (~np.asarray(values.is_null())).astype(np.uint64)
+    else:
+        defs[is_elem] = d_valid
+    return rep, defs, values.drop_null() if values.null_count else values, total
+
+
 def write_file(
     path: str,
     table: pa.Table,
@@ -267,18 +320,26 @@ def write_file(
     file. Returns a summary {column: {pages, bytes}} for inspection."""
     codec_id = CODEC_IDS[compression]
     codec = None if compression == "none" else pa.Codec(compression)
-    cols = []
+    cols = []  # (name, phys, field, elem_field_or_None)
     for field in table.schema:
-        if field.type not in _PA_TO_PHYS:
+        if pa.types.is_list(field.type):
+            elem = field.type.value_field
+            if elem.type not in _PA_TO_PHYS:
+                raise TypeError(
+                    f"unsupported list element type {elem.type} for column {field.name!r}"
+                )
+            cols.append((field.name, _PA_TO_PHYS[elem.type], field, elem))
+        elif field.type in _PA_TO_PHYS:
+            cols.append((field.name, _PA_TO_PHYS[field.type], field, None))
+        else:
             raise TypeError(f"unsupported type {field.type} for column {field.name!r}")
-        cols.append((field.name, _PA_TO_PHYS[field.type], field))
 
     summary: dict = {}
     with open(path, "wb") as f:
         f.write(MAGIC)
         offset = 4
         chunks_meta = []
-        for (name, phys, field), col in zip(cols, table.columns):
+        for (name, phys, field, elem), col in zip(cols, table.columns):
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             optional = field.nullable
             if not optional and arr.null_count:
@@ -289,16 +350,32 @@ def write_file(
                     f"column {name!r} is declared non-nullable but holds "
                     f"{arr.null_count} null(s)"
                 )
+            if elem is not None and not elem.nullable and arr.flatten().null_count:
+                raise ValueError(
+                    f"column {name!r}: element declared non-nullable but holds nulls"
+                )
+            max_def = (1 if optional else 0) + (1 + (1 if elem.nullable else 0) if elem is not None else 0)
             data_page_offset = offset
             total_comp = total_uncomp = 0
             n_pages = 0
+            n_values_total = 0
             for start in range(0, len(arr), page_rows):
                 page = arr.slice(start, page_rows)
                 body = b""
-                if optional:
-                    body += _def_levels(page)
-                values, n_vals = _plain_encode(page, phys)
-                body += values
+                if elem is not None:
+                    # repeated column: rep levels + def levels + dense values
+                    # (Dremel layout, ref fields.go:232-271)
+                    rep, defs, dense, n_vals = _list_levels(page, optional, elem.nullable)
+                    body += rle.encode(rep, 1)
+                    body += rle.encode(defs, _bit_width(max_def))
+                    values, _ = _plain_encode(dense, phys)
+                    body += values
+                else:
+                    if optional:
+                        body += _def_levels(page)
+                    values, n_vals = _plain_encode(page, phys)
+                    body += values
+                n_values_total += n_vals
                 comp_body = codec.compress(body).to_pybytes() if codec else body
                 hdr = TCWriter()
                 hdr.i32(1, PAGE_DATA)
@@ -307,8 +384,9 @@ def write_file(
                 hdr.struct_begin(5)  # DataPageHeader
                 hdr.i32(1, n_vals)
                 hdr.i32(2, ENC_PLAIN)
-                hdr.i32(3, ENC_RLE)         # definition levels
-                hdr.i32(4, ENC_BIT_PACKED)  # repetition levels (absent, flat)
+                hdr.i32(3, ENC_RLE)  # definition levels
+                # repetition levels: RLE when present, BIT_PACKED marker when flat
+                hdr.i32(4, ENC_RLE if elem is not None else ENC_BIT_PACKED)
                 hdr.struct_end()
                 page_bytes = hdr.finish() + comp_body
                 f.write(page_bytes)
@@ -317,26 +395,52 @@ def write_file(
                 total_uncomp += len(hdr.buf) + len(body)
                 n_pages += 1
             chunks_meta.append(
-                dict(name=name, phys=phys, n_values=len(arr), codec=codec_id,
-                     uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset)
+                dict(name=name, phys=phys, n_values=n_values_total, codec=codec_id,
+                     uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset,
+                     path=[name] if elem is None else [name, "list", "element"])
             )
             summary[name] = {"pages": n_pages, "bytes": total_comp}
 
         # FileMetaData footer
         w = TCWriter()
         w.i32(1, 1)  # version
-        w.struct_list_begin(2, len(cols) + 1)  # schema: root + leaves
+        n_elems = 1 + sum(3 if e is not None else 1 for _, _, _, e in cols)
+        w.struct_list_begin(2, n_elems)  # schema: root + nodes
         w.elem_struct_begin()
         w.binary(4, "schema")
         w.i32(5, len(cols))
         w.elem_struct_end()
-        for name, phys, field in cols:
+        for name, phys, field, elem in cols:
+            if elem is not None:
+                # 3-level LIST: <repetition> group name (LIST) {
+                #   repeated group list { <elem-repetition> element } }
+                w.elem_struct_begin()
+                w.i32(3, OPTIONAL if field.nullable else REQUIRED)
+                w.binary(4, name)
+                w.i32(5, 1)
+                w.i32(6, CONVERTED_LIST)
+                w.elem_struct_end()
+                w.elem_struct_begin()
+                w.i32(3, REPEATED)
+                w.binary(4, "list")
+                w.i32(5, 1)
+                w.elem_struct_end()
+                w.elem_struct_begin()
+                w.i32(1, phys)
+                w.i32(3, OPTIONAL if elem.nullable else REQUIRED)
+                w.binary(4, "element")
+                conv = _PA_CONVERTED.get(elem.type)
+                if conv is not None:
+                    w.i32(6, conv)
+                w.elem_struct_end()
+                continue
             w.elem_struct_begin()
             w.i32(1, phys)
             w.i32(3, OPTIONAL if field.nullable else REQUIRED)
             w.binary(4, name)
-            if field.type == pa.string():
-                w.i32(6, CONVERTED_UTF8)
+            conv = _PA_CONVERTED.get(field.type)
+            if conv is not None:
+                w.i32(6, conv)
             w.elem_struct_end()
         w.i64(3, table.num_rows)
         w.struct_list_begin(4, 1)  # one row group
@@ -348,7 +452,7 @@ def write_file(
             w.struct_begin(3)  # ColumnMetaData
             w.i32(1, cm["phys"])
             w.i32_list(2, [ENC_PLAIN, ENC_RLE])
-            w.str_list(3, [cm["name"]])
+            w.str_list(3, cm["path"])
             w.i32(4, cm["codec"])
             w.i64(5, cm["n_values"])
             w.i64(6, cm["uncomp"])
@@ -390,20 +494,110 @@ def read_metadata(path: str) -> dict:
     return {"_raw": data, "meta": TCReader(memoryview(data), start).read_struct()}
 
 
+def _parse_schema(elems: list[dict]) -> list[dict]:
+    """Depth-first SchemaElement walk → one info dict per top-level column.
+    Supported shapes: flat primitive leaves; one-level lists in the
+    3-level LIST layout, the 2-level layout (repeated leaf under a group),
+    and the reference's bare repeated leaf (fields.go:232-271). Deeper
+    nesting raises NotImplementedError."""
+    root = elems[0]
+    idx = 1
+    out = []
+    for _ in range(root[5]):
+        e = elems[idx]
+        idx += 1
+        name = e[4].decode()
+        rep_t = e.get(3, REQUIRED)
+        nchild = e.get(5, 0)
+        if nchild == 0:
+            if rep_t == REPEATED:
+                # bare repeated leaf: a list with no null/empty distinction
+                out.append(dict(name=name, kind="list", phys=e[1], elem_conv=e.get(6),
+                                d_list=0, d_entry=1, d_valid=1, elem_opt=False, outer_opt=False))
+            else:
+                out.append(dict(name=name, kind="flat", phys=e[1], conv=e.get(6),
+                                opt=rep_t == OPTIONAL))
+            continue
+        outer_opt = rep_t == OPTIONAL
+        d_list = 1 if outer_opt else 0
+        if nchild != 1:
+            raise NotImplementedError(f"column {name!r}: struct schemas not supported by the raw reader")
+        mid = elems[idx]
+        idx += 1
+        if mid.get(3, REQUIRED) != REPEATED:
+            raise NotImplementedError(f"column {name!r}: non-list group schemas not supported")
+        mid_child = mid.get(5, 0)
+        if mid_child == 0:
+            # 2-level list: repeated leaf directly under the outer group
+            out.append(dict(name=name, kind="list", phys=mid[1], elem_conv=mid.get(6),
+                            d_list=d_list, d_entry=d_list + 1, d_valid=d_list + 1,
+                            elem_opt=False, outer_opt=outer_opt))
+            continue
+        if mid_child != 1:
+            raise NotImplementedError(f"column {name!r}: nested struct inside list not supported")
+        leaf = elems[idx]
+        idx += 1
+        if leaf.get(5, 0):
+            raise NotImplementedError(f"column {name!r}: nested lists not supported")
+        elem_opt = leaf.get(3, REQUIRED) == OPTIONAL
+        out.append(dict(name=name, kind="list", phys=leaf[1], elem_conv=leaf.get(6),
+                        d_list=d_list, d_entry=d_list + 1,
+                        d_valid=d_list + 1 + (1 if elem_opt else 0),
+                        elem_opt=elem_opt, outer_opt=outer_opt))
+    return out
+
+
+def _convert_values(vals: pa.Array, conv: int | None) -> pa.Array:
+    if conv == CONVERTED_UTF8 and vals.type == pa.binary():
+        return vals.cast(pa.string())
+    if conv == CONVERTED_UINT_32 and vals.type == pa.int32():
+        return vals.view(pa.uint32())
+    if conv == CONVERTED_UINT_64 and vals.type == pa.int64():
+        return vals.view(pa.uint64())
+    return vals
+
+
+def _assemble_list(rep: np.ndarray, defs: np.ndarray, dense: pa.Array, info: dict) -> pa.ListArray:
+    """Dremel record assembly for a one-level list page (the read side of
+    /root/reference/cmd/parquetgen/dremel/read_repeated.go:62-118,
+    vectorized over the whole page)."""
+    row_start = rep == 0
+    if len(rep) and not row_start[0]:
+        raise NotImplementedError("data page starts mid-row (unsupported)")
+    starts_idx = np.flatnonzero(row_start)
+    n_rows = len(starts_idx)
+    is_elem = defs >= info["d_entry"]
+    lens = (
+        np.add.reduceat(is_elem.astype(np.int64), starts_idx)
+        if n_rows else np.zeros(0, np.int64)
+    )
+    offsets = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if info["elem_opt"]:
+        n_elem = int(is_elem.sum())
+        valid = defs[is_elem] == info["d_valid"]
+        if not valid.all():
+            idx = np.zeros(n_elem, np.int64)
+            idx[valid] = np.arange(int(valid.sum()))
+            dense = dense.take(pa.array(idx, pa.int64(), mask=~valid))
+    mask = None
+    if info["outer_opt"]:
+        null_rows = defs[starts_idx] < info["d_list"]
+        if null_rows.any():
+            mask = np.append(null_rows, False)
+    off_arr = pa.array(offsets.astype(np.int32), pa.int32(), mask=mask)
+    return pa.ListArray.from_arrays(off_arr, dense)
+
+
 def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Read a flat-schema Parquet v1 file (PLAIN or dictionary-free subset)
-    into a pa.Table, using only this module's parsers and the engine's
-    plain/rle kernels."""
+    """Read a Parquet v1 file (flat or one-level-list schema, PLAIN or
+    dictionary-free subset) into a pa.Table, using only this module's
+    parsers and the engine's plain/rle kernels."""
     parsed = read_metadata(path)
     data, meta = memoryview(parsed["_raw"]), parsed["meta"]
-    schema_elems = meta[2]
-    root, leaves = schema_elems[0], schema_elems[1:]
-    if any(e.get(5) for e in leaves):
-        raise NotImplementedError("nested parquet schemas not supported by the raw reader")
-    names = [e[4].decode() for e in leaves]
-    phys_by_name = {e[4].decode(): e[1] for e in leaves}
-    opt_by_name = {e[4].decode(): e.get(3, REQUIRED) == OPTIONAL for e in leaves}
-    utf8_by_name = {e[4].decode(): e.get(6) == CONVERTED_UTF8 for e in leaves}
+    infos = _parse_schema(meta[2])
+    by_name = {i["name"]: i for i in infos}
+    names = [i["name"] for i in infos]
     # None = all columns; an explicit [] is an (honored) empty projection
     want = names if columns is None else list(columns)
     unknown = [c for c in want if c not in names]
@@ -446,9 +640,27 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                 n_vals, enc, def_enc = dph[1], dph[2], dph[3]
                 if enc not in (ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE_DICT):
                     raise NotImplementedError(f"value encoding {enc}")
+                info = by_name[name]
                 off = 0
+                if info["kind"] == "list":
+                    if enc != ENC_PLAIN:
+                        raise NotImplementedError("dictionary-encoded list pages unsupported")
+                    rep_enc = dph.get(4)
+                    if rep_enc != ENC_RLE:
+                        raise NotImplementedError(f"repetition-level encoding {rep_enc}")
+                    reps, consumed = rle.decode(body, n_vals, 1)
+                    off += consumed
+                    defs, consumed = rle.decode(body[off:], n_vals, _bit_width(info["d_valid"]))
+                    off += consumed
+                    n_dense = int((defs == info["d_valid"]).sum())
+                    dense = _convert_values(
+                        _plain_decode(body[off:], n_dense, phys), info["elem_conv"]
+                    )
+                    arrays[name].append(_assemble_list(reps, defs, dense, info))
+                    got += n_vals
+                    continue
                 validity = None
-                if opt_by_name[name]:
+                if info["opt"]:
                     if def_enc != ENC_RLE:
                         raise NotImplementedError(f"definition-level encoding {def_enc}")
                     levels, consumed = rle.decode(body, n_vals, 1)
@@ -470,19 +682,29 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     idx = np.zeros(n_vals, dtype=np.int64)
                     idx[validity] = np.arange(n_dense)
                     vals = vals.take(pa.array(idx, pa.int64(), mask=~validity))
-                if utf8_by_name[name] and vals.type == pa.binary():
-                    vals = vals.cast(pa.string())
-                arrays[name].append(vals)
+                arrays[name].append(_convert_values(vals, info["conv"]))
                 got += n_vals
 
     phys_pa = {T_BOOLEAN: pa.bool_(), T_INT32: pa.int32(), T_INT64: pa.int64(),
                T_FLOAT: pa.float32(), T_DOUBLE: pa.float64()}
+
+    def _empty_type(info: dict) -> pa.DataType:
+        conv = info.get("conv") if info["kind"] == "flat" else info.get("elem_conv")
+        if info["phys"] == T_BYTE_ARRAY:
+            t = pa.string() if conv == CONVERTED_UTF8 else pa.binary()
+        elif conv == CONVERTED_UINT_32:
+            t = pa.uint32()
+        elif conv == CONVERTED_UINT_64:
+            t = pa.uint64()
+        else:
+            t = phys_pa[info["phys"]]
+        return pa.list_(t) if info["kind"] == "list" else t
+
     out = []
     for c in want:
         chunks = arrays[c]
         if not chunks:  # zero-row file
-            t = phys_pa.get(phys_by_name[c], pa.string() if utf8_by_name[c] else pa.binary())
-            out.append(pa.array([], t))
+            out.append(pa.array([], _empty_type(by_name[c])))
         else:
             out.append(pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0])
     return pa.table(out, names=list(want))
