@@ -163,4 +163,12 @@ def read_encoded(
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "manifest"))
+    man_dir = os.path.join(path, "manifest")
+    try:
+        return spark.read.parquet(man_dir)
+    except Exception:
+        # an empty table writes no manifest parts; surface an empty
+        # relation with the manifest schema instead of an inference error
+        from parquet_spark.operators.encode import MANIFEST_DDL
+
+        return spark.createDataFrame([], MANIFEST_DDL)

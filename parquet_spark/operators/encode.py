@@ -82,7 +82,15 @@ def _block_bucket(tbl: pa.Table) -> int:
     return bucket
 
 
-def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool, stats_cols: list[str] | None = None):
+_MANIFEST_PA_SCHEMA = pa.schema([
+    ("bucket", pa.int32()), ("part_id", pa.int32()), ("block_id", pa.int64()),
+    ("column", pa.string()), ("codec", pa.string()), ("compression", pa.string()),
+    ("n_values", pa.int64()), ("n_nulls", pa.int64()), ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()), ("crc", pa.int64()), ("vmin", pa.string()), ("vmax", pa.string()),
+])
+
+
+def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool, stats_cols: list[str] | None = None, manifest_dir: str | None = None):
     codec_overrides = codec_overrides or {}
     stats_cols = stats_cols or []
 
@@ -94,7 +102,9 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else -1
+        attempt = ctx.attemptNumber() if ctx else 0
         block_id = 0
+        manifest_rows: list[tuple] = []
 
         def encode_block(tbl: pa.Table):
             nonlocal block_id
@@ -141,6 +151,12 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                     meta["vmin"] = None if vmin is None else str(vmin)
                     meta["vmax"] = None if vmax is None else str(vmax)
                 metas[col] = meta
+                if manifest_dir is not None:
+                    manifest_rows.append((
+                        bucket, pid, block_id, col, meta["codec"], meta["compression"],
+                        n, arr.null_count, raw_bytes, len(payload), meta["crc"],
+                        meta.get("vmin"), meta.get("vmax"),
+                    ))
                 payloads.append(payload)
             arrays = (
                 [
@@ -191,6 +207,23 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
         if n_pending:
             yield encode_block(pa.Table.from_batches(pending))
 
+        if manifest_dir is not None and manifest_rows:
+            # side-band manifest part: written at generator end, so a task
+            # that completed its data output has also recorded its metadata
+            # — no second pass over the data dir is ever needed. tmp+rename
+            # keeps torn files from a killed attempt invisible; the publish
+            # step dedups by partition id (retries write identical content).
+            import pyarrow.parquet as _pq
+
+            tbl = pa.Table.from_arrays(
+                [pa.array([r[i] for r in manifest_rows], f.type) for i, f in enumerate(_MANIFEST_PA_SCHEMA)],
+                schema=_MANIFEST_PA_SCHEMA,
+            )
+            final = os.path.join(manifest_dir, f"part-{pid:05d}-{attempt}.parquet")
+            tmp = final + ".inprogress"
+            _pq.write_table(tbl, tmp, compression="snappy")
+            os.replace(tmp, final)
+
     return fn
 
 
@@ -200,10 +233,15 @@ def encode_table(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     codecs: dict | None = None,
     compression: str | None = None,
+    manifest_dir: str | None = None,
 ) -> DataFrame:
     """DataFrame → blocks DataFrame (one row per block, one binary payload
     column per encoded input column). Purely declarative — the encode runs
-    inside one mapInArrow stage per partition when the result is consumed."""
+    inside one mapInArrow stage per partition when the result is consumed.
+
+    `manifest_dir`: when set, each task also writes its manifest rows as a
+    side-band parquet part file there while the blocks are being produced
+    (one pass; see write_encoded). Local/POSIX path semantics."""
     has_bucket = BUCKET_COL in df.columns
     columns = columns or [c for c in df.columns if c != BUCKET_COL]
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -213,7 +251,10 @@ def encode_table(
         + ", ".join(f"`{c}` binary" for c in columns)
         + "".join(f", `_min_{c}` {type_of[c]}, `_max_{c}` {type_of[c]}" for c in stats_cols)
     )
-    return df.mapInArrow(_encode_fn(columns, block_rows, codecs, compression, has_bucket, stats_cols), out_ddl)
+    return df.mapInArrow(
+        _encode_fn(columns, block_rows, codecs, compression, has_bucket, stats_cols, manifest_dir),
+        out_ddl,
+    )
 
 
 def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
@@ -377,6 +418,36 @@ def _scan_is_byte_balanced(df: DataFrame) -> bool | None:
     return None
 
 
+def _publish_manifest(pending: str, man_dir: str, clear: bool) -> None:
+    """Move side-band manifest parts from the job's _pending dir into the
+    manifest dir. `clear` wipes previous manifest content first (overwrite
+    semantics). Dedups by partition id — task retries write identical rows
+    under distinct attempt suffixes — and removes any stale _pending dirs
+    left by crashed runs (their entries, if data committed, are re-derived
+    by the resume heal)."""
+    import shutil
+
+    os.makedirs(man_dir, exist_ok=True)
+    for entry in os.listdir(man_dir):
+        p = os.path.join(man_dir, entry)
+        if p == pending:
+            continue
+        if os.path.isdir(p) and entry.startswith("_pending-"):
+            shutil.rmtree(p, ignore_errors=True)  # stale crashed-run dir
+        elif clear:
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    seen_pids = set()
+    for fname in sorted(os.listdir(pending)):
+        if not fname.endswith(".parquet"):
+            continue
+        pid = fname.rsplit("-", 1)[0]
+        if pid in seen_pids:
+            continue
+        seen_pids.add(pid)
+        os.replace(os.path.join(pending, fname), os.path.join(man_dir, fname))
+    shutil.rmtree(pending, ignore_errors=True)
+
+
 def _partition_balance(df: DataFrame, weight_col: str | None) -> dict | None:
     """One probe job: per-input-partition weight balance. Returns
     {n_parts, n_rows, max_w, mean_w} or None when the probe can't run
@@ -475,7 +546,11 @@ def write_encoded(
             chosen = bucket_mode
     if chosen == "auto":
         chosen = "salted"
-        enough_parts = npart >= max(4, target_partitions // 2)
+        # parallelism yardstick: what would the SALTED path actually give?
+        # min(target_partitions, cluster cores) — when the input already has
+        # at least half that, shuffling buys no extra parallelism
+        par = spark.sparkContext.defaultParallelism
+        enough_parts = npart >= max(2, min(target_partitions, par) // 2)
         scan_ok = _scan_is_byte_balanced(df) if enough_parts else False
         if scan_ok:
             # bare splittable scan: the split planner's byte-balance
@@ -487,7 +562,6 @@ def write_encoded(
             if (
                 bal is not None
                 and bal["max_w"] <= balance_threshold * bal["mean_w"]
-                and bal["n_parts"] >= max(4, target_partitions // 2)
                 and bal["n_rows"] / bal["n_parts"] >= block_rows / 4
             ):
                 chosen = "partition"
@@ -517,25 +591,35 @@ def write_encoded(
             mode = "append"
 
     if skipped < n_buckets:
-        blocks = encode_table(salted, columns=columns, block_rows=block_rows, codecs=codecs, compression=compression)
-        blocks.write.mode(mode).parquet(data_dir)
+        # manifest rows are written SIDE-BAND by the encode tasks into a
+        # _pending dir (invisible to parquet discovery) during the one data
+        # write job, then published after the job commits — no second scan
+        # of the data dir. Data remains the source of truth: a crash before
+        # publish leaves the manifest behind, and the resume heal below
+        # re-derives the missing entries from the data's meta column.
+        import uuid
 
-    # manifest: incremental — append entries only for buckets the manifest
-    # does not know yet (at 10⁶ blocks a full rebuild per resume would
-    # re-read and re-write every historical entry). This also heals a
-    # manifest left behind by a crash after the data write.
-    # partial explicit schema: skips inference AND projects at scan time —
-    # the payload binary columns are never touched
-    data_meta = spark.read.schema(
-        "bucket int, part_id int, block_id long, meta string"
-    ).parquet(data_dir)
+        pending = os.path.join(man_dir, f"_pending-{uuid.uuid4().hex[:8]}")
+        os.makedirs(pending, exist_ok=True)
+        blocks = encode_table(
+            salted, columns=columns, block_rows=block_rows, codecs=codecs,
+            compression=compression, manifest_dir=pending,
+        )
+        blocks.write.mode(mode).parquet(data_dir)
+        _publish_manifest(pending, man_dir, clear=(mode == "overwrite"))
+
     if mode == "append" and os.path.exists(man_dir):
+        # resume heal: append entries only for buckets the manifest does
+        # not know yet (a crash between a previous run's data write and its
+        # manifest publish leaves such gaps). Meta-only explicit-schema
+        # scan — payload columns never touched.
+        data_meta = spark.read.schema(
+            "bucket int, part_id int, block_id long, meta string"
+        ).parquet(data_dir)
         known = spark.read.schema(MANIFEST_DDL).parquet(man_dir).select("bucket").distinct()
         fresh = data_meta.join(F.broadcast(known), "bucket", "left_anti")
         if not fresh.isEmpty():
             manifest_from_blocks(fresh).write.mode("append").parquet(man_dir)
-    else:
-        manifest_from_blocks(data_meta).write.mode("overwrite").parquet(man_dir)
     write_snapshot(
         path, df.schema.json(), columns, fp,
         {"n_buckets": n_buckets, "block_rows": block_rows, "bucket_mode": chosen},
