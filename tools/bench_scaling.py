@@ -44,6 +44,12 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORES = [2, 8, 32]
 INPUT_DIR = "/dev/shm/psbench-scaling-input"
+# engine minima only merge across invocations of the SAME engine plan
+# shape — round 3's zero-shuffle partition mode made every leg faster, so
+# mixing its runs with round-2 salted-path minima would compare different
+# code. The platform kernel ceiling is engine-version-independent and
+# merges regardless.
+CODE_REV = "r3-zeroshuffle"
 
 
 # ---------------------------------------------------------------- platform
@@ -193,8 +199,9 @@ def main() -> None:
             prev = json.load(open(prev_path))
             if prev.get("rows") == rows and "engine_runs_sec" in prev:
                 for c in CORES:
-                    engine_runs[c] = list(prev["engine_runs_sec"].get(str(c), []))
                     kernel_runs[c] = list(prev["kernel_runs_sec"].get(str(c), []))
+                    if prev.get("code_rev") == CODE_REV:
+                        engine_runs[c] = list(prev["engine_runs_sec"].get(str(c), []))
         except (json.JSONDecodeError, KeyError):
             pass
     results: dict[int, dict] = {}
@@ -214,6 +221,7 @@ def main() -> None:
     kbest = {c: min(kernel_runs[c]) for c in CORES}
     out = {
         "rows": rows,
+        "code_rev": CODE_REV,
         "rounds": len(engine_runs[CORES[0]]),
         "target": 0.8,
         "n_tokens": n_tokens,
