@@ -107,7 +107,12 @@ write_encoded(sequences_df(spark, 2000, seed=1, n_partitions={cpus}), work + "/w
 dt = 1e9
 for _ in range(2):
     t0 = time.perf_counter()
-    write_encoded(seq, work + "/encoded", target_partitions=64, resume=False)
+    # bucket_mode pinned: auto chooses the partition plan for this
+    # byte-balanced input at every core count anyway (bench.py measures
+    # the full auto path); pinning removes the static-check-vs-probe
+    # borderline from the leg-to-leg comparison so the timed quantity is
+    # purely the distributed encode
+    write_encoded(seq, work + "/encoded", target_partitions=64, resume=False, bucket_mode="partition")
     dt = min(dt, time.perf_counter() - t0)
 enc_bytes = sum(os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(work + "/encoded/data") for f in fs if not f.endswith(".crc") and f != "_SUCCESS")
 print(json.dumps(dict(sec=dt, n_tokens=int(n_tokens), enc_bytes=enc_bytes)))
@@ -197,11 +202,13 @@ def main() -> None:
     if os.path.exists(prev_path):
         try:
             prev = json.load(open(prev_path))
-            if prev.get("rows") == rows and "engine_runs_sec" in prev:
-                for c in CORES:
-                    kernel_runs[c] = list(prev["kernel_runs_sec"].get(str(c), []))
-                    if prev.get("code_rev") == CODE_REV:
-                        engine_runs[c] = list(prev["engine_runs_sec"].get(str(c), []))
+            for c in CORES:
+                # the platform kernel ceiling is fixed-work-per-process —
+                # independent of both engine revision and input rows — so
+                # its rounds always accumulate
+                kernel_runs[c] = list(prev.get("kernel_runs_sec", {}).get(str(c), []))
+                if prev.get("rows") == rows and prev.get("code_rev") == CODE_REV:
+                    engine_runs[c] = list(prev.get("engine_runs_sec", {}).get(str(c), []))
         except (json.JSONDecodeError, KeyError):
             pass
     results: dict[int, dict] = {}
