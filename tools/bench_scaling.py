@@ -166,6 +166,29 @@ spark.stop(); shutil.rmtree(out, ignore_errors=True)
     raise RuntimeError(proc.stderr[-2000:])
 
 
+def _paired_median(lo: int, hi: int, paired: list[dict]) -> dict:
+    """Round-paired robust statistic: within one round the engine and
+    kernel legs run adjacently, so they see the same noise stretch;
+    per-round efficiency_vs_platform cancels the slow-varying host noise
+    that makes cross-round minima fragile (one anomalously quiet kernel
+    sample otherwise moves the whole ceiling). Median over rounds."""
+    import statistics as st
+
+    effs, raws = [], []
+    for r in paired:
+        e_lo, e_hi = r["e"][str(lo)], r["e"][str(hi)]
+        k_lo, k_hi = r["k"][str(lo)], r["k"][str(hi)]
+        es = e_lo / e_hi
+        ps = (hi / k_hi) / (lo / k_lo)
+        effs.append(es / ps)
+        raws.append(es / (hi / lo))
+    return {
+        "rounds": len(effs),
+        "vs_platform_median": round(st.median(effs), 3) if effs else None,
+        "raw_efficiency_median": round(st.median(raws), 3) if raws else None,
+    }
+
+
 def _pair(lo: int, hi: int, best: dict, kernel_best: dict, n_tokens: int) -> dict:
     tps_lo = n_tokens / best[lo]
     tps_hi = n_tokens / best[hi]
@@ -194,6 +217,7 @@ def main() -> None:
 
     engine_runs: dict[int, list[float]] = {c: [] for c in CORES}
     kernel_runs: dict[int, list[float]] = {c: [] for c in CORES}
+    paired_rounds: list[dict] = []
     # accumulate across invocations: host noise comes in long stretches, so
     # one session may never see a quiet window — later runs merge into the
     # same file and the per-leg minima converge to capability. All raw runs
@@ -209,15 +233,21 @@ def main() -> None:
                 kernel_runs[c] = list(prev.get("kernel_runs_sec", {}).get(str(c), []))
                 if prev.get("rows") == rows and prev.get("code_rev") == CODE_REV:
                     engine_runs[c] = list(prev.get("engine_runs_sec", {}).get(str(c), []))
+            if prev.get("rows") == rows and prev.get("code_rev") == CODE_REV:
+                paired_rounds = list(prev.get("paired_rounds", []))
         except (json.JSONDecodeError, KeyError):
             pass
     results: dict[int, dict] = {}
     for rnd in range(rounds):
+        this = {"e": {}, "k": {}}
         for c in CORES:
             r = _engine_leg(c, rows)
             results[c] = r
-            engine_runs[c].append(round(r["sec"], 3))
-            kernel_runs[c].append(round(_kernel_leg(c), 3))
+            this["e"][str(c)] = round(r["sec"], 3)
+            this["k"][str(c)] = round(_kernel_leg(c), 3)
+            engine_runs[c].append(this["e"][str(c)])
+            kernel_runs[c].append(this["k"][str(c)])
+        paired_rounds.append(this)
         print(f"round {rnd}: engine={ {c: engine_runs[c][-1] for c in CORES} } "
               f"kernel={ {c: kernel_runs[c][-1] for c in CORES} }", file=sys.stderr, flush=True)
 
@@ -243,10 +273,13 @@ def main() -> None:
         # saturated at 8 procs, the closest same-box model of adding
         # executors that each bring their own memory bus
         "pair_2_to_8": _pair(2, 8, best, kbest, n_tokens),
+        "pair_2_to_8_paired": _paired_median(2, 8, paired_rounds),
         # same-box stress pair: 32 local cores share one memory subsystem;
         # the platform ceiling binds here and efficiency_vs_platform is the
         # meaningful engine number
         "pair_8_to_32": _pair(8, 32, best, kbest, n_tokens),
+        "pair_8_to_32_paired": _paired_median(8, 32, paired_rounds),
+        "paired_rounds": paired_rounds,
     }
     shutil.rmtree(INPUT_DIR, ignore_errors=True)
     with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
