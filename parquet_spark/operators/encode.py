@@ -436,6 +436,10 @@ def _publish_manifest(pending: str, man_dir: str, clear: bool) -> None:
             shutil.rmtree(p, ignore_errors=True)  # stale crashed-run dir
         elif clear:
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+    # published names carry the run tag: a RESUME run's task pids overlap
+    # the original run's, and un-tagged names would overwrite the prior
+    # run's manifest parts on append
+    tag = os.path.basename(pending)[len("_pending-"):]
     seen_pids = set()
     for fname in sorted(os.listdir(pending)):
         if not fname.endswith(".parquet"):
@@ -444,7 +448,8 @@ def _publish_manifest(pending: str, man_dir: str, clear: bool) -> None:
         if pid in seen_pids:
             continue
         seen_pids.add(pid)
-        os.replace(os.path.join(pending, fname), os.path.join(man_dir, fname))
+        dest = f"part-{tag}-{fname[len('part-'):]}"
+        os.replace(os.path.join(pending, fname), os.path.join(man_dir, dest))
     shutil.rmtree(pending, ignore_errors=True)
 
 
@@ -605,7 +610,14 @@ def write_encoded(
             salted, columns=columns, block_rows=block_rows, codecs=codecs,
             compression=compression, manifest_dir=pending,
         )
-        blocks.write.mode(mode).parquet(data_dir)
+        # 32 MB parquet row groups (default 128 MB): block rows carry
+        # multi-MB binary payload cells, and N concurrent tasks each
+        # buffering a 128 MB row group on one heap causes humongous-object
+        # churn and full-GC stalls at high core counts (measured: 32-core
+        # encode of a 4.8M-row table spent more time in GC pauses than in
+        # work). Smaller row groups also give FINER row-group stats
+        # pruning on the _min_/_max_ columns — strictly better for reads.
+        blocks.write.option("parquet.block.size", 32 << 20).mode(mode).parquet(data_dir)
         _publish_manifest(pending, man_dir, clear=(mode == "overwrite"))
 
     if mode == "append" and os.path.exists(man_dir):

@@ -291,3 +291,35 @@ def test_partition_mode_resume_mismatched_partitions_reencodes(spark, seq_path, 
     assert dec.count() == df.count()  # no dup/loss from stale bucket skips
     crc = lambda d: d.agg(F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string")))).alias("c")).collect()[0]["c"]
     assert crc(dec) == crc(df)
+
+
+def test_resume_manifest_parts_never_collide(spark, seq_path, tmp_path):
+    """A resume run's task pids overlap the original run's; published
+    manifest part names must carry the run tag so append never overwrites
+    the prior run's parts (which would silently drop manifest rows until
+    the next heal)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(seq_path)
+    path = str(tmp_path / "enc_collide")
+    write_encoded(df, path, target_partitions=4, fingerprint="mc1", resume=False)
+    man_dir = os.path.join(path, "manifest")
+    before = set(os.listdir(man_dir))
+    # drop one bucket's data to force a partial resume that re-encodes it
+    data = spark.read.parquet(os.path.join(path, "data"))
+    keep = data.where(F.col("bucket") != 0)
+    tmp_new = str(tmp_path / "data_new")
+    keep.write.parquet(tmp_new)
+    shutil.rmtree(os.path.join(path, "data"))
+    os.rename(tmp_new, os.path.join(path, "data"))
+    # original manifest parts stay in place — collision bait for the
+    # resume run's overlapping task pids
+    write_encoded(df, path, target_partitions=4, fingerprint="mc1", resume=True)
+    after = set(os.listdir(man_dir))
+    assert before <= after, "resume overwrote pre-existing manifest parts"
+    man = read_manifest(spark, path)
+    got = {r["bucket"] for r in man.select("bucket").distinct().collect()}
+    data_buckets = {r["bucket"] for r in spark.read.parquet(os.path.join(path, "data")).select("bucket").distinct().collect()}
+    assert got >= data_buckets

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+
+import numpy as np
 import os
 import shutil
 import sys
@@ -72,6 +74,26 @@ def _kernel_leg(p: int) -> float:
     with mp.Pool(p) as pool:
         t0 = time.perf_counter()
         pool.map(_kernel_work, range(p))
+        return time.perf_counter() - t0
+
+
+# STREAM-style copy: the ceiling for the TRANSPORT-bound part of the
+# pipeline (JVM->Arrow->Python->Arrow->JVM->tmpfs all ride the same DRAM
+# bus on this single-box sandbox). Fixed 1 GB copied per process; ideal
+# hardware keeps wall flat as processes are added.
+def _bw_work(_):
+    src = np.ones(128 << 20, dtype=np.uint8)
+    dst = np.empty_like(src)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        np.copyto(dst, src)
+    return time.perf_counter() - t0
+
+
+def _bw_leg(p: int) -> float:
+    with mp.Pool(p) as pool:
+        t0 = time.perf_counter()
+        pool.map(_bw_work, range(p))
         return time.perf_counter() - t0
 
 
@@ -217,6 +239,7 @@ def main() -> None:
 
     engine_runs: dict[int, list[float]] = {c: [] for c in CORES}
     kernel_runs: dict[int, list[float]] = {c: [] for c in CORES}
+    bw_runs: dict[int, list[float]] = {c: [] for c in CORES}
     paired_rounds: list[dict] = []
     # accumulate across invocations: host noise comes in long stretches, so
     # one session may never see a quiet window — later runs merge into the
@@ -231,6 +254,7 @@ def main() -> None:
                 # independent of both engine revision and input rows — so
                 # its rounds always accumulate
                 kernel_runs[c] = list(prev.get("kernel_runs_sec", {}).get(str(c), []))
+                bw_runs[c] = list(prev.get("bw_runs_sec", {}).get(str(c), []))
                 if prev.get("rows") == rows and prev.get("code_rev") == CODE_REV:
                     engine_runs[c] = list(prev.get("engine_runs_sec", {}).get(str(c), []))
             if prev.get("rows") == rows and prev.get("code_rev") == CODE_REV:
@@ -247,6 +271,7 @@ def main() -> None:
             this["k"][str(c)] = round(_kernel_leg(c), 3)
             engine_runs[c].append(this["e"][str(c)])
             kernel_runs[c].append(this["k"][str(c)])
+            bw_runs[c].append(round(_bw_leg(c), 3))
         paired_rounds.append(this)
         print(f"round {rnd}: engine={ {c: engine_runs[c][-1] for c in CORES} } "
               f"kernel={ {c: kernel_runs[c][-1] for c in CORES} }", file=sys.stderr, flush=True)
@@ -269,6 +294,17 @@ def main() -> None:
         "platform_weak_scaling": {
             str(c): {"wall_sec": kbest[c], "rate": round(c / kbest[c], 3)} for c in CORES
         },
+        # copy-bandwidth ceiling: 1 GB copied per process (2 GB bus traffic);
+        # aggregate_gb_s ~flat across core counts on this box = the bus is
+        # saturated by ~2 procs; transport-bound pipeline stages cannot
+        # scale past that HERE, while 4N real executors bring 4N buses
+        "platform_bandwidth": {
+            str(c): {
+                "wall_sec": min(bw_runs[c]),
+                "aggregate_gb_s": round(2.0 * c / min(bw_runs[c]), 2),
+            } for c in CORES if bw_runs[c]
+        },
+        "bw_runs_sec": {str(c): bw_runs[c] for c in CORES},
         # primary pair (N -> 4N): per-core memory bandwidth is not yet
         # saturated at 8 procs, the closest same-box model of adding
         # executors that each bring their own memory bus
