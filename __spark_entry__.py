@@ -335,6 +335,35 @@ def _q_text_sample_by_hash(spark, sf_dir):
     return textops.sample_by_hash(_t(spark, sf_dir, "documents"), rate=0.25)
 
 
+def _q_corpus_ngram_counts(spark, sf_dir):
+    """Top-k word-trigram frequency over the corpus (vocabulary audit /
+    contamination-index building block) — one explode + one map-side-
+    combinable shuffle on the n-gram key, result bounded by top_k."""
+    from parquet_spark.pipeline import corpus
+
+    return corpus.ngram_counts(_t(spark, sf_dir, "documents"), n=3, top_k=200)
+
+
+def _q_corpus_contamination(spark, sf_dir):
+    """Benchmark-contamination check: 5-gram overlap of every corpus doc
+    against a deterministic 'eval set' (doc_id % 10 = 0) — broadcast
+    equi-join on the n-gram key, no pair enumeration."""
+    from parquet_spark.pipeline import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.contamination(docs, docs.where("doc_id % 10 = 0"), n=5)
+
+
+def _q_corpus_boilerplate_segments(spark, sf_dir):
+    """CCNet-style boilerplate inventory: segments occurring in >=40
+    distinct documents (document frequency, not occurrences). The driver
+    corpus is single-line text, so segments are whitespace-split — the
+    op itself defaults to newline/paragraph splitting."""
+    from parquet_spark.pipeline import corpus
+
+    return corpus.boilerplate_segments(_t(spark, sf_dir, "documents"), min_df=40, sep=r"\s+")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from parquet_spark.pipeline import dedup
 
@@ -426,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "text_quality_filter": _q_text_quality_filter,
         "text_sample_by_hash": _q_text_sample_by_hash,
+        "corpus_ngram_counts": _q_corpus_ngram_counts,
+        "corpus_contamination": _q_corpus_contamination,
+        "corpus_boilerplate_segments": _q_corpus_boilerplate_segments,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -523,7 +555,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _pipeline_oracles() -> dict[str, str]:
-    from parquet_spark.pipeline import dedup, multimodal, similarity, textops
+    from parquet_spark.pipeline import corpus, dedup, multimodal, similarity, textops
 
     return {
         "text_token_counts": textops.token_counts_oracle(),
@@ -532,6 +564,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_fingerprints": textops.fingerprints_oracle(),
         "text_quality_filter": textops.quality_filter_oracle(min_score=0.5),
         "text_sample_by_hash": textops.sample_by_hash_oracle(rate=0.25),
+        "corpus_ngram_counts": corpus.ngram_counts_oracle("documents", n=3, top_k=200),
+        "corpus_contamination": corpus.contamination_oracle("documents", "doc_id % 10 = 0", n=5),
+        "corpus_boilerplate_segments": corpus.boilerplate_segments_oracle(
+            "documents", min_df=40, sep_sql="' '"
+        ),
         "dedup_exact": dedup.dedup_exact_oracle(),
         # "auto" replicates the default-on df cap (skew control) in SQL
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(threshold=0.2, max_df="auto"),
