@@ -55,7 +55,10 @@ class StreamingEncoder:
         salt_key: str = "doc_id",
         weight_col: str | None = "n_tok",
         plan_refresh_batches: int = 10,
+        bucket_mode: str = "salted",
     ) -> None:
+        if bucket_mode not in ("salted", "partition"):
+            raise ValueError(f"bucket_mode {bucket_mode!r} not in ('salted', 'partition')")
         self.path = path
         self.target_partitions = target_partitions
         self.block_rows = block_rows
@@ -64,6 +67,7 @@ class StreamingEncoder:
         self.salt_key = salt_key
         self.weight_col = weight_col
         self.plan_refresh_batches = plan_refresh_batches
+        self.bucket_mode = bucket_mode
         self._plan = None
         self._snapshot_written = False
 
@@ -71,17 +75,27 @@ class StreamingEncoder:
         if batch_df.isEmpty():
             return
         columns = list(batch_df.columns)
-        if self._plan is None or (batch_id % self.plan_refresh_batches) == 0:
-            self._plan = plan_salted_buckets(
-                batch_df, self.target_partitions, self.source_col, self.weight_col
+        if self.bucket_mode == "partition":
+            # zero-shuffle micro-batches: a batch replay overwrites its
+            # WHOLE batch dir (idempotence is per-batch, not per-bucket),
+            # so bucket ids need no cross-run stability and the batch's
+            # source partitioning is used as-is — the minimum-latency
+            # path for streams whose sources are byte-balanced (e.g.
+            # Kafka with balanced partitions). Skewed streams keep the
+            # default salted mode.
+            salted = batch_df.withColumn(BUCKET_COL, F.spark_partition_id())
+        else:
+            if self._plan is None or (batch_id % self.plan_refresh_batches) == 0:
+                self._plan = plan_salted_buckets(
+                    batch_df, self.target_partitions, self.source_col, self.weight_col
+                )
+            salted = with_salted_bucket(
+                batch_df, self._plan, self.source_col, self.salt_key, BUCKET_COL
             )
-        salted = with_salted_bucket(
-            batch_df, self._plan, self.source_col, self.salt_key, BUCKET_COL
-        )
-        n_buckets = self._plan[-1][1] + self._plan[-1][2] if self._plan else self.target_partitions
-        salted = salted.repartition(
-            min(n_buckets, self.target_partitions), BUCKET_COL
-        ).sortWithinPartitions(BUCKET_COL)
+            n_buckets = self._plan[-1][1] + self._plan[-1][2] if self._plan else self.target_partitions
+            salted = salted.repartition(
+                min(n_buckets, self.target_partitions), BUCKET_COL
+            ).sortWithinPartitions(BUCKET_COL)
         blocks = encode_table(
             salted, columns=columns, block_rows=self.block_rows, codecs=self.codecs
         )

@@ -132,3 +132,25 @@ def test_streaming_dedup_exact_across_batches(spark, tmp_path):
     # first occurrences only: 1 (not 3/10), 2 (not 12), 11
     assert got == {1, 2, 11}, rows
     assert len(rows) == 3
+
+
+def test_stream_encode_partition_mode(spark, workdir):
+    """Zero-shuffle streaming: bucket = batch partition id. Batch replays
+    overwrite whole batch dirs, so bucket ids need no cross-run stability
+    — round-trip and idempotence must hold exactly as in salted mode."""
+    from parquet_spark.sources.synth import sequences_df
+    from parquet_spark.streaming.encode_stream import (
+        StreamingEncoder,
+        read_encoded_stream_output,
+    )
+
+    src = sequences_df(spark, 2000, seed=21, n_partitions=4)
+    enc = StreamingEncoder(workdir, target_partitions=8, bucket_mode="partition")
+    batches = src.randomSplit([1.0, 1.0], seed=9)
+    for i, b in enumerate(batches):
+        enc(b, i)
+    out = read_encoded_stream_output(spark, workdir)
+    assert out.count() == 2000
+    assert _crc(out) == _crc(src)
+    enc(batches[0], 0)  # replay → no dup
+    assert read_encoded_stream_output(spark, workdir).count() == 2000
