@@ -26,7 +26,11 @@ explicitly:
    session). All legs — engine at every core count AND the kernel
    microbench — are therefore run INTERLEAVED over several rounds, and
    each leg takes its minimum across rounds, so every leg samples the
-   same noise distribution and minima are comparable.
+   same noise distribution and minima are comparable. Because a single
+   anomalously quiet sample can still skew a cross-round minimum, the
+   ROUND-PAIRED median (`pair_*_paired`) is reported alongside: legs
+   within one round run adjacently and see the same noise stretch, so
+   per-round efficiency ratios cancel the slow-varying noise.
 
 Usage: python tools/bench_scaling.py [rows] [rounds]   # default 300000, 5
 Writes BENCH_SCALING.json at the repo root and prints it.
