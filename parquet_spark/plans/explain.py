@@ -130,6 +130,31 @@ def explain_encode(df: DataFrame, sample_rows: int = 16384) -> list[dict]:
     return out
 
 
+def explain_partitioning(df: DataFrame, target_partitions: int | None = None) -> str:
+    """One-line prediction of write_encoded's bucket_mode='auto' decision,
+    using only the zero-job static analysis (never runs the probe job)."""
+    from parquet_spark.operators.encode import _scan_is_byte_balanced
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    tp = target_partitions or max(par * 2, 8)
+    npart = df.rdd.getNumPartitions()
+    if npart < max(2, min(tp, par) // 2):
+        return (
+            f"salted shuffle: {npart} input partition(s) underuse "
+            f"{min(tp, par)}-way parallelism"
+        )
+    if _scan_is_byte_balanced(df):
+        return (
+            f"zero-shuffle partition mode: bare splittable scan, "
+            f"{npart} byte-balanced partitions (proven statically, no job)"
+        )
+    return (
+        "runtime probe decides (one weight-per-partition job): "
+        "balanced -> zero-shuffle, imbalanced -> salted shuffle"
+    )
+
+
 def plan_summary(df: DataFrame, sample_rows: int = 16384) -> str:
     """Formatted multi-line plan (what `.explain("formatted")` is to Catalyst)."""
     rows = explain_encode(df, sample_rows)
@@ -139,4 +164,5 @@ def plan_summary(df: DataFrame, sample_rows: int = 16384) -> str:
             f"  {r['column']:<20s} {r['dtype']:<16s} -> {r['codec']:<12s} "
             f"~{r['est_bytes_per_value']}B/val  ({r['reason']})"
         )
+    lines.append(f"  partitioning: {explain_partitioning(df)}")
     return "\n".join(lines)

@@ -71,3 +71,19 @@ def test_encode_pipeline_single_shuffle(spark):
     n_shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange ")
     assert n_shuffles == 1, plan
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "mapInArrow" in plan, plan
+
+
+def test_explain_partitioning_modes(spark, tmp_path):
+    from parquet_spark.plans import explain_partitioning, plan_summary
+    from parquet_spark.sources.synth import sequences_df, write_sequences
+
+    p = str(tmp_path / "seqs")
+    write_sequences(spark, p, 2000, seed=2, n_partitions=4)
+    scan = spark.read.parquet(p)
+    line = explain_partitioning(scan, target_partitions=4)
+    assert "zero-shuffle" in line or "probe" in line  # never the underuse branch
+    assert "salted shuffle" in explain_partitioning(scan.coalesce(1), target_partitions=64)
+    # a generated (non-scan) df can't be statically analyzed -> probe
+    gen = sequences_df(spark, 1000, seed=3, n_partitions=8)
+    assert "probe" in explain_partitioning(gen, target_partitions=8)
+    assert "partitioning:" in plan_summary(scan)
