@@ -76,16 +76,29 @@ def decode_table(
     return proj.mapInArrow(_decode_fn(list(columns), out_schema, verify), out_schema)
 
 
-_PRUNE_OPS = {">", ">=", "<", "<=", "=", "=="}
+_PRUNE_OPS = {">", ">=", "<", "<=", "=", "==", "!=", "in"}
 
 
 def _block_keep_condition(col: str, op: str, value):
     """Can a block with [vmin, vmax] contain a row satisfying (col op value)?
     Blocks without stats (null vmin) are always kept — pruning is an
     optimization, never a correctness filter."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     vmin, vmax = F.col(f"_min_{col}"), F.col(f"_max_{col}")
+    if op == "in":
+        # keep the block if ANY candidate value falls inside its range
+        vals = list(value)
+        if not vals:
+            cond = F.lit(False)
+        else:
+            cond = reduce(
+                lambda a, b: a | b,
+                [(vmin <= F.lit(v)) & (vmax >= F.lit(v)) for v in vals],
+            )
+        return cond | vmin.isNull()
     lit = F.lit(value)
     if op == ">":
         cond = vmax > lit
@@ -95,6 +108,9 @@ def _block_keep_condition(col: str, op: str, value):
         cond = vmin < lit
     elif op == "<=":
         cond = vmin <= lit
+    elif op == "!=":
+        # only an all-equal block pinned to the excluded value can be pruned
+        cond = ~((vmin == lit) & (vmax == lit))
     else:  # = / ==
         cond = (vmin <= lit) & (vmax >= lit)
     return cond | vmin.isNull()
@@ -110,8 +126,9 @@ def read_encoded(
     """Open an encoded table (data + snapshot) and return the decoded
     DataFrame — the engine's `spark.read.parquet` analogue.
 
-    `where=(column, op, value)` with op in {>, >=, <, <=, =} prunes whole
-    blocks by their min/max statistics BEFORE decode — and because the
+    `where=(column, op, value)` with op in {>, >=, <, <=, =, !=, in}
+    (value is an iterable for `in`) prunes whole blocks by their min/max
+    statistics BEFORE decode — and because the
     stats are plain typed columns of the blocks parquet, Catalyst pushes
     the range predicate into the scan (PushedFilters) and parquet
     row-group stats skip the payload IO entirely, the analogue of the
@@ -151,13 +168,15 @@ def read_encoded(
         # typed Column comparison, not SQL text: dates/timestamps/strings
         # with quotes all become proper literals instead of repr() fragments
         op_fns = {
-            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
-            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
-            "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+            ">": lambda c, v: c > F.lit(v), ">=": lambda c, v: c >= F.lit(v),
+            "<": lambda c, v: c < F.lit(v), "<=": lambda c, v: c <= F.lit(v),
+            "=": lambda c, v: c == F.lit(v), "==": lambda c, v: c == F.lit(v),
+            "!=": lambda c, v: c != F.lit(v),
+            "in": lambda c, v: c.isin(*list(v)) if len(list(v)) else F.lit(False),
         }
         out = decoded
         for col, op, value in preds:
-            out = out.where(op_fns[op](F.col(col), F.lit(value)))
+            out = out.where(op_fns[op](F.col(col), value))
         return out.select(*(columns or [f.name for f in schema.fields]))
     return decode_table(blocks_df, schema, columns, verify=verify)
 

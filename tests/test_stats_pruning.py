@@ -98,7 +98,7 @@ def test_where_bad_inputs(spark, tmp_path):
     with pytest.raises(KeyError):
         read_encoded(spark, path, where=("nope", ">", 1))
     with pytest.raises(ValueError):
-        read_encoded(spark, path, where=("n_tok", "!=", 1))
+        read_encoded(spark, path, where=("n_tok", "like", 1))
 
 
 def test_cluster_col_makes_pruning_effective(spark, tmp_path):
@@ -201,3 +201,35 @@ def test_where_multi_predicate(spark, tmp_path):
         ).select("doc_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_where_in_and_not_equal(spark, tmp_path):
+    """`in` (iterable of candidates) and `!=` predicates: block pruning
+    keeps any block whose [vmin, vmax] could hold a candidate ('in') or
+    isn't pinned to the excluded value ('!='); results equal
+    decode-then-filter."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "in_t")
+    df = sequences_df(spark, 4000, seed=9, n_partitions=2)
+    write_encoded(df, path, target_partitions=4, block_rows=512, resume=False)
+    plain = read_encoded(spark, path)
+
+    want_in = sorted(
+        r["doc_id"] for r in plain.where("source IN ('src0', 'src7')").select("doc_id").collect()
+    )
+    got_in = sorted(
+        r["doc_id"]
+        for r in read_encoded(spark, path, where=("source", "in", ["src0", "src7"]))
+        .select("doc_id").collect()
+    )
+    assert got_in == want_in and len(got_in) > 0
+
+    want_ne = plain.where("source != 'src0'").count()
+    got_ne = read_encoded(spark, path, where=("source", "!=", "src0")).count()
+    assert got_ne == want_ne > 0
+
+    # empty candidate list: no rows, no error
+    assert read_encoded(spark, path, where=("source", "in", [])).count() == 0
