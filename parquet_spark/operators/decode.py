@@ -182,12 +182,15 @@ def read_encoded(
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql.utils import AnalysisException
+
     man_dir = os.path.join(path, "manifest")
     try:
         return spark.read.parquet(man_dir)
-    except Exception:
-        # an empty table writes no manifest parts; surface an empty
-        # relation with the manifest schema instead of an inference error
+    except AnalysisException:
+        # an empty table writes no manifest parts (missing dir / no files
+        # to infer a schema from); surface an empty relation with the
+        # manifest schema instead. Real IO/corruption errors still raise.
         from parquet_spark.operators.encode import MANIFEST_DDL
 
         return spark.createDataFrame([], MANIFEST_DDL)
