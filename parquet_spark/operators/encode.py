@@ -343,11 +343,12 @@ def _scan_is_byte_balanced(df: DataFrame) -> bool | None:
     of at most maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
     totalBytes/defaultParallelism)) and packs them, so every scan
     partition holds ≤ maxSplitBytes — byte-balance is guaranteed by the
-    planner, no data scan needed. Returns True/False when the plan is a
+    planner, no data scan needed. Returns True only when the plan is a
     pure narrow pipeline over a parquet/orc relation (so scan partitions
     ARE the df's partitions) AND the packing simulation is balanced and
     above the fragmentation floor; None in every other case (then the
-    caller falls back to the measured probe job)."""
+    caller falls back to the measured probe job — only the happy verdict
+    short-circuits)."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
