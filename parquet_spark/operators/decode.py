@@ -153,6 +153,14 @@ def read_encoded(
         # one (col, op, value) triple or a list of them (AND semantics) —
         # every predicate contributes block pruning AND a row-level filter
         preds = [where] if isinstance(where, tuple) else list(where)
+        # materialize 'in' candidate sets ONCE: both the block-pruning
+        # condition and the row filter consume the value, and a one-shot
+        # iterator drained by pruning would leave the row filter an empty
+        # set (silently zero rows)
+        preds = [
+            (col, op, list(value) if op == "in" else value)
+            for col, op, value in preds
+        ]
         known = {f.name for f in schema.fields}
         cols = list(columns or [f.name for f in schema.fields])
         for col, op, _value in preds:
@@ -172,7 +180,7 @@ def read_encoded(
             "<": lambda c, v: c < F.lit(v), "<=": lambda c, v: c <= F.lit(v),
             "=": lambda c, v: c == F.lit(v), "==": lambda c, v: c == F.lit(v),
             "!=": lambda c, v: c != F.lit(v),
-            "in": lambda c, v: c.isin(*list(v)) if len(list(v)) else F.lit(False),
+            "in": lambda c, v: c.isin(*v) if len(v) else F.lit(False),
         }
         out = decoded
         for col, op, value in preds:

@@ -309,31 +309,55 @@ def read_snapshot(path: str) -> dict | None:
 
 
 def dataset_fingerprint(df: DataFrame, explicit: str | None = None) -> str:
-    """Lineage key for resumability: input files + schema (no data scan)."""
+    """Lineage key for resumability: input files + per-file size/mtime +
+    schema (no data scan). sha256, not crc32 — this key gates whether a
+    resume APPENDS into an existing table, so a collision (or a
+    same-names-different-content file set) silently grafting the wrong
+    lineage must be out of reach at fleet scale. Sizes/mtimes are folded
+    in where the filesystem exposes them cheaply (local paths); remote
+    URIs contribute path-only, which still pins the file *set*."""
     if explicit:
         return explicit
-    files = sorted(df.inputFiles())
-    h = zlib.crc32(("\n".join(files) + df.schema.json()).encode())
-    return f"fp-{h:08x}-{len(files)}"
+    import hashlib
+
+    entries = []
+    for f in sorted(df.inputFiles()):
+        if f.startswith("file:"):
+            local = f[len("file:"):]
+            # Spark renders file URIs with repeated slashes; both spellings
+            # point at the same local path
+            try:
+                st = os.stat(local if os.path.exists(local) else "/" + local.lstrip("/"))
+                entries.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+                continue
+            except OSError:
+                pass
+        entries.append(f)
+    h = hashlib.sha256(("\n".join(entries) + "\x00" + df.schema.json()).encode()).hexdigest()
+    return f"fp-{h[:20]}-{len(entries)}"
 
 
 _NARROW_NODES = {"Project", "Filter", "Relation", "SubqueryAlias", "View", "ResolvedHint"}
 
+_SIZE_UNITS = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+
 
 def _parse_bytes_conf(v: str, default: int) -> int:
+    """Parse a Spark size conf ('134217728', '128m', '128mb', '1g', '1gb').
+    Two-letter suffixes are real Spark spellings — matching the trailing
+    'b' before the unit letter (not after) is what makes '128mb' read as
+    128 MiB instead of 128 bytes."""
+    import re
+
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"([0-9]+(?:\.[0-9]+)?)\s*([kmgtp]?)b?", s)
+    if not m:
+        return default
+    num, unit = m.groups()
     try:
-        return int(v)
-    except ValueError:
-        pass
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-    s = v.strip().lower()
-    for suf, mult in units.items():
-        if s.endswith(suf):
-            try:
-                return int(float(s.rstrip("kmgb")) * mult)
-            except ValueError:
-                break
-    return default
+        return int(float(num) * _SIZE_UNITS[unit])
+    except (ValueError, OverflowError):
+        return default
 
 
 def _scan_is_byte_balanced(df: DataFrame) -> bool | None:
@@ -384,6 +408,12 @@ def _scan_is_byte_balanced(df: DataFrame) -> bool | None:
         return None
     par = df.sparkSession.sparkContext.defaultParallelism
     max_split = min(max_part, max(open_cost, (total + len(files) * open_cost) // max(par, 1)))
+    if max_split <= 0 or total // max_split + len(files) > 1_000_000:
+        # an implausible piece count (misparsed conf, pathological input)
+        # must not turn this zero-job static check into a driver stall —
+        # defer to the measured probe instead of simulating millions of
+        # splits
+        return None
     # replicate the planner's packing: chop each file into ≤max_split
     # pieces, sort desc, greedy-fill partitions (openCost pads the fill
     # accounting but not the real bytes)
@@ -452,6 +482,31 @@ def _publish_manifest(pending: str, man_dir: str, clear: bool) -> None:
         dest = f"part-{tag}-{fname[len('part-'):]}"
         os.replace(os.path.join(pending, fname), os.path.join(man_dir, dest))
     shutil.rmtree(pending, ignore_errors=True)
+
+
+def _partition_plan_conf(spark: SparkSession) -> dict:
+    """The session inputs that determine Spark's file-split planning. A
+    partition-mode resume is only sound when the replanned splits equal the
+    recorded run's — partition COUNT equality alone is a weak proxy (conf
+    drift can move split boundaries while coincidentally preserving the
+    count), so the snapshot records these and any mismatch forces a full
+    re-encode."""
+    conf = spark.conf
+
+    def get(key: str) -> str:
+        # no typed default: Spark validates defaults against the conf's
+        # declared type, so an ''-default on an int conf raises
+        try:
+            return str(conf.get(key))
+        except Exception:
+            return "<unset>"
+
+    return {
+        "maxPartitionBytes": get("spark.sql.files.maxPartitionBytes"),
+        "openCostInBytes": get("spark.sql.files.openCostInBytes"),
+        "filesMinPartitionNum": get("spark.sql.files.minPartitionNum"),
+        "defaultParallelism": int(spark.sparkContext.defaultParallelism),
+    }
 
 
 def _partition_balance(df: DataFrame, weight_col: str | None) -> dict | None:
@@ -545,8 +600,13 @@ def write_encoded(
         # resume MUST reuse the recorded mode: re-probing could flip the
         # decision and silently change what a bucket id means
         chosen = snap.get("bucket_mode", "salted")
-        if chosen == "partition" and npart != snap.get("n_buckets"):
-            # partition planning changed (different confs/parallelism) —
+        if chosen == "partition" and (
+            npart != snap.get("n_buckets")
+            or snap.get("partition_plan") != _partition_plan_conf(spark)
+        ):
+            # partition planning changed (different partition count OR
+            # split-planning confs drifted — count equality alone can hide
+            # shifted split boundaries that reassign rows across buckets) —
             # recorded bucket ids are meaningless; re-encode from scratch
             resuming = False
             chosen = bucket_mode
@@ -635,7 +695,10 @@ def write_encoded(
             manifest_from_blocks(fresh).write.mode("append").parquet(man_dir)
     write_snapshot(
         path, df.schema.json(), columns, fp,
-        {"n_buckets": n_buckets, "block_rows": block_rows, "bucket_mode": chosen},
+        {
+            "n_buckets": n_buckets, "block_rows": block_rows, "bucket_mode": chosen,
+            "partition_plan": _partition_plan_conf(spark),
+        },
     )
     return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
 

@@ -293,6 +293,114 @@ def test_partition_mode_resume_mismatched_partitions_reencodes(spark, seq_path, 
     assert crc(dec) == crc(df)
 
 
+def test_parse_bytes_conf_two_letter_suffixes():
+    """Spark accepts 'kb/mb/gb' size spellings; '128mb' must read as
+    128 MiB, not 128 bytes (the latter turns the static balance check's
+    packing simulation into a driver stall)."""
+    from parquet_spark.operators.encode import _parse_bytes_conf
+
+    assert _parse_bytes_conf("134217728", 0) == 128 << 20
+    assert _parse_bytes_conf("128m", 0) == 128 << 20
+    assert _parse_bytes_conf("128mb", 0) == 128 << 20
+    assert _parse_bytes_conf("128MB", 0) == 128 << 20
+    assert _parse_bytes_conf("4kb", 0) == 4 << 10
+    assert _parse_bytes_conf("1gb", 0) == 1 << 30
+    assert _parse_bytes_conf("1.5g", 0) == int(1.5 * (1 << 30))
+    assert _parse_bytes_conf("2t", 0) == 2 << 40
+    assert _parse_bytes_conf("512b", 0) == 512
+    assert _parse_bytes_conf("garbage", 77) == 77
+    assert _parse_bytes_conf("", 77) == 77
+
+
+def test_static_balance_check_survives_mb_conf(spark, seq_path):
+    """Integration guard for the '128mb' misparse: with the two-letter
+    spelling set in the session, the zero-job static check must neither
+    stall nor flip its verdict vs the canonical spelling."""
+    from parquet_spark.operators.encode import _scan_is_byte_balanced
+
+    df = spark.read.parquet(seq_path)
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    verdict_canonical = _scan_is_byte_balanced(df)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128mb")
+        import time
+
+        t0 = time.perf_counter()
+        verdict = _scan_is_byte_balanced(spark.read.parquet(seq_path))
+        assert time.perf_counter() - t0 < 5.0
+        assert verdict == verdict_canonical
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+
+def test_fingerprint_sensitive_to_content_change(spark, tmp_path):
+    """Same file names, different bytes → different fingerprint, and a
+    resume against the stale table does a full re-encode instead of
+    silently appending the wrong lineage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_spark.operators.encode import dataset_fingerprint, read_snapshot, write_encoded
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f = str(src / "part-0.parquet")
+
+    def make(n):
+        t = pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "tokens": pa.array([[i, i + 1] for i in range(n)], pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": pa.array(["s0"] * n, pa.string()),
+        })
+        pq.write_table(t, f)
+
+    make(100)
+    df1 = spark.read.parquet(str(src))
+    fp1 = dataset_fingerprint(df1)
+    path = str(tmp_path / "enc_fp")
+    write_encoded(df1, path, target_partitions=2, resume=True, block_rows=64)
+    assert read_snapshot(path)["fingerprint"] == fp1
+
+    make(150)  # same name, different content/size
+    df2 = spark.read.parquet(str(src))
+    fp2 = dataset_fingerprint(df2)
+    assert fp2 != fp1
+    s = write_encoded(df2, path, target_partitions=2, resume=True, block_rows=64)
+    assert s["buckets_skipped"] == 0  # full re-encode, no stale append
+    assert read_encoded(spark, path).count() == 150
+
+
+def test_partition_mode_resume_rejects_plan_conf_drift(spark, seq_path, tmp_path):
+    """Partition count equality is a weak resume proxy: if the recorded
+    split-planning confs differ from the session's, recorded bucket ids
+    may map to different rows — the resume must fall back to a full
+    re-encode."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+
+    df = spark.read.parquet(seq_path)
+    path = str(tmp_path / "enc_plan_drift")
+    write_encoded(df, path, target_partitions=4, fingerprint="pd1", resume=False, bucket_mode="partition")
+    snap_file = os.path.join(path, "snapshot.json")
+    with open(snap_file) as fh:
+        snap = json.load(fh)
+    assert "partition_plan" in snap
+    # simulate conf drift recorded at write time (same partition count)
+    snap["partition_plan"]["maxPartitionBytes"] = "64MB"
+    with open(snap_file, "w") as fh:
+        json.dump(snap, fh)
+    s = write_encoded(df, path, target_partitions=4, fingerprint="pd1", resume=True, bucket_mode="partition")
+    assert s["buckets_skipped"] == 0
+    dec = read_encoded(spark, path)
+    assert dec.count() == df.count()
+    crc = lambda d: d.agg(F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string")))).alias("c")).collect()[0]["c"]
+    assert crc(dec) == crc(df)
+
+
 def test_resume_manifest_parts_never_collide(spark, seq_path, tmp_path):
     """A resume run's task pids overlap the original run's; published
     manifest part names must carry the run tag so append never overwrites

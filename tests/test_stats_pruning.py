@@ -233,3 +233,14 @@ def test_where_in_and_not_equal(spark, tmp_path):
 
     # empty candidate list: no rows, no error
     assert read_encoded(spark, path, where=("source", "in", [])).count() == 0
+
+    # one-shot generator of candidates: must behave like the list —
+    # the predicate is consumed by BOTH block pruning and the row filter,
+    # so a drained iterator would silently return zero rows
+    gen = (s for s in ["src0", "src7"])
+    got_gen = sorted(
+        r["doc_id"]
+        for r in read_encoded(spark, path, where=("source", "in", gen))
+        .select("doc_id").collect()
+    )
+    assert got_gen == want_in
