@@ -115,22 +115,34 @@ def main() -> None:
     extras["encode_tokens_per_sec"] = n_tokens / timings["encode_sequences"]
     extras["engine_bytes_per_token"] = enc_bytes / n_tokens
 
-    # ---- q2: decode (timed as a pure full-decode aggregation — every
-    # payload column is forced through the decode kernels; the crc
-    # round-trip proof below is correctness-only and untimed because its
-    # cost is the JVM string-cast of 10^7 tokens, not the decode).
-    # min-of-N like every other leg: a single sample on this host can be
-    # a 6x noise outlier.
+    # ---- q2 + q4/q5 legs INTERLEAVED, min-of-N — the same methodology as
+    # the encode legs above, now applied to EVERY timed leg (VERDICT r3:
+    # the roundtrip legs ran min-of-2 un-interleaved, so one leg catching a
+    # congested stretch read as a 2.5x "regression" on unchanged code).
+    # q2 decode is a pure full-decode aggregation — every payload column is
+    # forced through the decode kernels; the crc round-trip proof below is
+    # correctness-only and untimed because its cost is the JVM string-cast
+    # of 10^7 tokens, not the decode.
+    from __spark_entry__ import queries
+
+    q = queries()
     dec = read_encoded(spark, enc_path)
-    dec_runs = []
-    for _ in range(max(n_reps - 2, 2)):
-        t0 = time.perf_counter()
-        dec.agg(
+    rt_legs = {
+        "decode_sequences": lambda: dec.agg(
             F.sum("n_tok"), F.sum(F.size("tokens")), F.count("doc_id"), F.count("source")
-        ).collect()
-        dec_runs.append(time.perf_counter() - t0)
-    timings["decode_sequences"] = min(dec_runs)
-    extras["decode_runs_sec"] = [round(r, 3) for r in dec_runs]
+        ).collect(),
+        "roundtrip_lineitem_auto": lambda: q["roundtrip_auto_all"](spark, sf_dir).agg(F.count("*")).collect(),
+        "roundtrip_documents_fsst": lambda: q["roundtrip_fsst_text"](spark, sf_dir).agg(F.count("*")).collect(),
+    }
+    rt_runs: dict[str, list[float]] = {k: [] for k in rt_legs}
+    for _ in range(n_reps):
+        for name, leg in rt_legs.items():
+            t0 = time.perf_counter()
+            leg()
+            rt_runs[name].append(time.perf_counter() - t0)
+    for name in rt_legs:
+        timings[name] = min(rt_runs[name])
+        extras[f"{name}_runs_sec"] = [round(r, 3) for r in rt_runs[name]]
     extras["decode_tokens_per_sec"] = n_tokens / timings["decode_sequences"]
     crc_expr = F.sum(F.crc32(F.concat_ws(",", F.col("doc_id"), F.col("tokens").cast("string")))).alias("c")
     crc_dec = dec.agg(crc_expr).collect()[0][0]
@@ -147,21 +159,6 @@ def main() -> None:
     extras["speed_ratio_vs_parquet_write"] = (
         timings["parquet_write_baseline"] / timings["encode_sequences"]
     )
-
-    # ---- q4/q5: engine round-trips over driver tables (auto codec chooser)
-    from __spark_entry__ import queries
-
-    q = queries()
-    for name, key in (
-        ("roundtrip_auto_all", "roundtrip_lineitem_auto"),
-        ("roundtrip_fsst_text", "roundtrip_documents_fsst"),
-    ):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            q[name](spark, sf_dir).agg(F.count("*")).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = best
 
     total = sum(timings.values())
     out = {

@@ -148,7 +148,9 @@ def read_encoded(
     if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
-    blocks_df = spark.read.parquet(os.path.join(path, "data"))
+    # the snapshot names the live generation dir — after a compaction
+    # commit (rename-less pointer swap) it is not necessarily "data"
+    blocks_df = spark.read.parquet(os.path.join(path, snap.get("data_dir", "data")))
     if where is not None:
         # one (col, op, value) triple or a list of them (AND semantics) —
         # every predicate contributes block pruning AND a row-level filter
@@ -192,7 +194,8 @@ def read_encoded(
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.utils import AnalysisException
 
-    man_dir = os.path.join(path, "manifest")
+    snap = read_snapshot(path) or {}
+    man_dir = os.path.join(path, snap.get("manifest_dir", "manifest"))
     try:
         return spark.read.parquet(man_dir)
     except AnalysisException:

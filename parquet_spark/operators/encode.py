@@ -210,19 +210,20 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
         if manifest_dir is not None and manifest_rows:
             # side-band manifest part: written at generator end, so a task
             # that completed its data output has also recorded its metadata
-            # — no second pass over the data dir is ever needed. tmp+rename
-            # keeps torn files from a killed attempt invisible; the publish
-            # step dedups by partition id (retries write identical content).
-            import pyarrow.parquet as _pq
+            # — no second pass over the data dir is ever needed. The write
+            # is all-or-nothing per store capability (tmp+rename on POSIX/
+            # HDFS, complete-on-close PUT on object stores — tablefs), so
+            # a killed attempt leaves no torn file; the publish step dedups
+            # by partition id (retries write identical content).
+            from parquet_spark import tablefs
 
             tbl = pa.Table.from_arrays(
                 [pa.array([r[i] for r in manifest_rows], f.type) for i, f in enumerate(_MANIFEST_PA_SCHEMA)],
                 schema=_MANIFEST_PA_SCHEMA,
             )
-            final = os.path.join(manifest_dir, f"part-{pid:05d}-{attempt}.parquet")
-            tmp = final + ".inprogress"
-            _pq.write_table(tbl, tmp, compression="snappy")
-            os.replace(tmp, final)
+            tablefs.write_parquet_atomic(
+                os.path.join(manifest_dir, f"part-{pid:05d}-{attempt}.parquet"), tbl
+            )
 
     return fn
 
@@ -286,6 +287,11 @@ def _snapshot_path(path: str) -> str:
 
 
 def write_snapshot(path: str, schema_json: str, columns: list[str], fingerprint: str, extra: dict | None = None) -> None:
+    """Publish the table's snapshot pointer. The write is all-or-nothing
+    on every supported store (tablefs), so replacing a snapshot is an
+    atomic pointer swap — the commit primitive compaction relies on."""
+    from parquet_spark import tablefs
+
     snap = {
         "version": 1,
         "schema": json.loads(schema_json),
@@ -295,17 +301,17 @@ def write_snapshot(path: str, schema_json: str, columns: list[str], fingerprint:
     }
     if extra:
         snap.update(extra)
-    os.makedirs(path, exist_ok=True)
-    with open(_snapshot_path(path), "w") as f:
-        json.dump(snap, f)
+    tablefs.mkdirs(path)
+    tablefs.write_bytes_atomic(_snapshot_path(path), json.dumps(snap).encode())
 
 
 def read_snapshot(path: str) -> dict | None:
-    p = _snapshot_path(path)
-    if not os.path.exists(p):
+    from parquet_spark import tablefs
+
+    try:
+        return json.loads(tablefs.read_bytes(_snapshot_path(path)))
+    except FileNotFoundError:
         return None
-    with open(p) as f:
-        return json.load(f)
 
 
 def dataset_fingerprint(df: DataFrame, explicit: str | None = None) -> str:
@@ -455,24 +461,27 @@ def _publish_manifest(pending: str, man_dir: str, clear: bool) -> None:
     semantics). Dedups by partition id — task retries write identical rows
     under distinct attempt suffixes — and removes any stale _pending dirs
     left by crashed runs (their entries, if data committed, are re-derived
-    by the resume heal)."""
-    import shutil
+    by the resume heal). All IO goes through tablefs (object-store
+    capable); publish is NOT atomic and doesn't need to be — the data dir
+    is the source of truth and a half-published manifest is healed on the
+    next resume."""
+    from parquet_spark import tablefs
 
-    os.makedirs(man_dir, exist_ok=True)
-    for entry in os.listdir(man_dir):
+    tablefs.mkdirs(man_dir)
+    for entry, entry_is_dir in tablefs.list_infos(man_dir):
         p = os.path.join(man_dir, entry)
         if p == pending:
             continue
-        if os.path.isdir(p) and entry.startswith("_pending-"):
-            shutil.rmtree(p, ignore_errors=True)  # stale crashed-run dir
+        if entry_is_dir and entry.startswith("_pending-"):
+            tablefs.delete_dir(p)  # stale crashed-run dir
         elif clear:
-            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+            tablefs.delete_dir(p) if entry_is_dir else tablefs.delete_file(p)
     # published names carry the run tag: a RESUME run's task pids overlap
     # the original run's, and un-tagged names would overwrite the prior
     # run's manifest parts on append
     tag = os.path.basename(pending)[len("_pending-"):]
     seen_pids = set()
-    for fname in sorted(os.listdir(pending)):
+    for fname in tablefs.listdir(pending):
         if not fname.endswith(".parquet"):
             continue
         pid = fname.rsplit("-", 1)[0]
@@ -480,8 +489,8 @@ def _publish_manifest(pending: str, man_dir: str, clear: bool) -> None:
             continue
         seen_pids.add(pid)
         dest = f"part-{tag}-{fname[len('part-'):]}"
-        os.replace(os.path.join(pending, fname), os.path.join(man_dir, dest))
-    shutil.rmtree(pending, ignore_errors=True)
+        tablefs.move(os.path.join(pending, fname), os.path.join(man_dir, dest))
+    tablefs.delete_dir(pending)
 
 
 def _partition_plan_conf(spark: SparkSession) -> dict:
@@ -552,6 +561,8 @@ def write_encoded(
     cluster_col: str | None = None,
     bucket_mode: str = "auto",
     balance_threshold: float = 2.0,
+    data_dirname: str = "data",
+    manifest_dirname: str = "manifest",
 ) -> dict:
     """Full encode pipeline: partitioning → encode → data + manifest +
     snapshot. Resumable: re-running after a partial failure anti-joins the
@@ -580,7 +591,15 @@ def write_encoded(
     current partition count differs from the recorded one falls back to a
     full re-encode instead of trusting stale bucket ids.
 
+    `data_dirname`/`manifest_dirname` name the generation directories
+    inside the table root (default "data"/"manifest"); the snapshot
+    records them, and readers resolve through the snapshot — which makes
+    the atomic snapshot write a rename-less commit primitive (compaction
+    writes a fresh generation, then swaps the pointer).
+
     Returns a summary dict (buckets encoded/skipped, manifest path)."""
+    from parquet_spark import tablefs
+
     if bucket_mode not in ("auto", "salted", "partition"):
         raise ValueError(f"bucket_mode {bucket_mode!r} not in ('auto', 'salted', 'partition')")
     spark = df.sparkSession
@@ -589,10 +608,15 @@ def write_encoded(
     if target_partitions is None:
         target_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
-    data_dir = os.path.join(path, "data")
-    man_dir = os.path.join(path, "manifest")
     snap = read_snapshot(path) if resume else None
-    resuming = bool(snap and snap.get("fingerprint") == fp and os.path.exists(data_dir))
+    if snap and snap.get("fingerprint") == fp:
+        # resume must target the LIVE generation dirs (a compacted table's
+        # data may live under data-<gen>), not the caller's defaults
+        data_dirname = snap.get("data_dir", data_dirname)
+        manifest_dirname = snap.get("manifest_dir", manifest_dirname)
+    data_dir = os.path.join(path, data_dirname)
+    man_dir = os.path.join(path, manifest_dirname)
+    resuming = bool(snap and snap.get("fingerprint") == fp and tablefs.exists(data_dir))
 
     npart = df.rdd.getNumPartitions()
     chosen = bucket_mode
@@ -643,6 +667,19 @@ def write_encoded(
             weight_col=weight_col, cluster_col=cluster_col,
         )
 
+    if resuming and chosen == "salted":
+        # salted bucket ids are a deterministic function of (rows, salted
+        # plan); the plan is recomputed each run, so resume is only sound
+        # when the recomputed plan matches the recorded one. A mismatch
+        # (e.g. the data was compacted with a different target_partitions)
+        # means recorded bucket ids don't correspond to this plan — full
+        # re-encode. Older snapshots without the fields pass (legacy).
+        want_n, want_t = snap.get("n_buckets"), snap.get("target_partitions")
+        if (want_n is not None and want_n != n_buckets) or (
+            want_t is not None and want_t != target_partitions
+        ):
+            resuming = False
+
     skipped = 0
     mode = "overwrite"
     if resuming:
@@ -666,7 +703,7 @@ def write_encoded(
         import uuid
 
         pending = os.path.join(man_dir, f"_pending-{uuid.uuid4().hex[:8]}")
-        os.makedirs(pending, exist_ok=True)
+        tablefs.mkdirs(pending)
         blocks = encode_table(
             salted, columns=columns, block_rows=block_rows, codecs=codecs,
             compression=compression, manifest_dir=pending,
@@ -681,7 +718,7 @@ def write_encoded(
         blocks.write.option("parquet.block.size", 32 << 20).mode(mode).parquet(data_dir)
         _publish_manifest(pending, man_dir, clear=(mode == "overwrite"))
 
-    if mode == "append" and os.path.exists(man_dir):
+    if mode == "append" and tablefs.exists(man_dir):
         # resume heal: append entries only for buckets the manifest does
         # not know yet (a crash between a previous run's data write and its
         # manifest publish leaves such gaps). Meta-only explicit-schema
@@ -697,7 +734,9 @@ def write_encoded(
         path, df.schema.json(), columns, fp,
         {
             "n_buckets": n_buckets, "block_rows": block_rows, "bucket_mode": chosen,
+            "target_partitions": target_partitions,
             "partition_plan": _partition_plan_conf(spark),
+            "data_dir": data_dirname, "manifest_dir": manifest_dirname,
         },
     )
     return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
@@ -723,12 +762,13 @@ def append_encoded(
     mixed under one path (this function refuses a flat table)."""
     import re
 
+    from parquet_spark import tablefs
     from parquet_spark.streaming.encode_stream import StreamingEncoder
 
     data_dir = os.path.join(path, "data")
     next_id = 0
-    if os.path.isdir(data_dir):
-        entries = os.listdir(data_dir)
+    if tablefs.is_dir(data_dir):
+        entries = tablefs.listdir(data_dir)
         ids = [int(m.group(1)) for d in entries if (m := re.match(r"batch=(\d+)$", d))]
         if not ids and any(not e.startswith(("_", ".")) for e in entries):
             raise ValueError(
@@ -741,6 +781,6 @@ def append_encoded(
         path, target_partitions=target_partitions, block_rows=block_rows,
         codecs=codecs, source_col=source_col, salt_key=salt_key, weight_col=weight_col,
     )
-    enc._snapshot_written = os.path.exists(_snapshot_path(path))
+    enc._snapshot_written = tablefs.exists(_snapshot_path(path))
     enc(df, next_id)
     return {"path": path, "batch_id": next_id}

@@ -5,22 +5,28 @@ appends leave buckets with many short blocks; short blocks hurt both
 compression (per-block headers, dictionaries, symbol tables amortize over
 fewer values) and decode throughput (more per-block Python dispatch).
 `compact_table` rewrites the table at full block size — the analogue of
-Iceberg's rewrite_data_files maintenance action, done the simple way:
-full rewrite into a sibling directory, then a two-rename swap. The swap is
-NOT atomic (local-filesystem renames; a real deployment would swap an
-Iceberg snapshot pointer instead): a crash between the renames leaves the
-complete old table parked at `<path>.old`, which `recover_table` — called
-automatically by read_encoded — renames back. No data is ever lost, but
-the window exists and this only works on a local/POSIX filesystem.
+Iceberg's rewrite_data_files maintenance action, committed the Iceberg
+way: the rewrite lands in FRESH generation directories
+(`data-<gen>/`, `manifest-<gen>/`) inside the table root, invisible to
+readers because the live snapshot still points at the old generation;
+the commit is then ONE atomic snapshot.json replacement (tablefs: tmp +
+rename on POSIX/HDFS, complete-on-close PUT on object stores). No
+directory renames anywhere, so the scheme works on S3/GCS where rename
+does not exist. A crash before the snapshot write leaves the old table
+fully live plus an orphaned generation, which the next compaction sweeps.
+
+`recover_table` remains for the legacy two-rename layout (`<path>.old`)
+written by older engine versions.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 
+from parquet_spark import tablefs
 from parquet_spark.operators.decode import read_encoded
 from parquet_spark.operators.encode import (
     DEFAULT_BLOCK_ROWS,
@@ -38,7 +44,7 @@ def fragmentation(spark: SparkSession, path: str, block_rows: int | None = None)
         raise FileNotFoundError(f"no snapshot.json under {path}")
     target = block_rows or snap.get("block_rows", DEFAULT_BLOCK_ROWS)
     agg = (
-        spark.read.parquet(os.path.join(path, "data"))
+        spark.read.parquet(os.path.join(path, snap.get("data_dir", "data")))
         .agg(F.count("*").alias("n_blocks"), F.sum("n_rows").alias("n_rows"))
         .collect()[0]
     )
@@ -54,16 +60,28 @@ def fragmentation(spark: SparkSession, path: str, block_rows: int | None = None)
 
 
 def recover_table(path: str) -> bool:
-    """Crash recovery for compact_table's two-rename swap: if `path` has no
-    snapshot but `<path>.old` holds a complete table (the window between the
-    two renames), rename it back. Returns True if a recovery happened."""
+    """Crash recovery for the LEGACY two-rename swap layout: if `path` has
+    no snapshot but `<path>.old` holds a complete table, move it back.
+    Current compactions commit via snapshot pointer swap and never need
+    this. Returns True if a recovery happened."""
     old = path.rstrip("/") + ".old"
-    has_snap = os.path.exists(os.path.join(path, "snapshot.json"))
-    if not has_snap and os.path.exists(os.path.join(old, "snapshot.json")):
-        shutil.rmtree(path, ignore_errors=True)  # partial dir, if any
-        os.rename(old, path)
+    has_snap = tablefs.exists(os.path.join(path, "snapshot.json"))
+    if not has_snap and tablefs.exists(os.path.join(old, "snapshot.json")):
+        tablefs.delete_dir(path)  # partial dir, if any
+        tablefs.move(old, path)
         return True
     return False
+
+
+def _sweep_orphan_generations(path: str, snap: dict) -> None:
+    """Delete generation dirs not referenced by the live snapshot —
+    leftovers of crashed or superseded compactions."""
+    live = {snap.get("data_dir", "data"), snap.get("manifest_dir", "manifest")}
+    for entry, entry_is_dir in tablefs.list_infos(path):
+        if not entry_is_dir or entry in live:
+            continue
+        if entry == "data" or entry.startswith("data-") or entry == "manifest" or entry.startswith("manifest-"):
+            tablefs.delete_dir(os.path.join(path, entry))
 
 
 def compact_table(
@@ -85,23 +103,24 @@ def compact_table(
     if before["fill_ratio"] >= min_fill_ratio:
         return {"compacted": False, "before": before, "after": before}
 
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    # the read plan is lazy over the OLD generation; the write streams into
+    # a fresh one — old data is untouched until the pointer swap commits
+    gen = uuid.uuid4().hex[:8]
     df = read_encoded(spark, path)
     write_encoded(
         df,
-        tmp,
+        path,
         target_partitions=target_partitions,
         block_rows=target,
         resume=False,
         fingerprint=snap.get("fingerprint"),
+        data_dirname=f"data-{gen}",
+        manifest_dirname=f"manifest-{gen}",
         **encode_kwargs,
     )
-    # atomic-ish swap: old table stays intact until the new one is complete
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # write_encoded's final atomic snapshot write IS the commit; everything
+    # the new snapshot doesn't reference is now garbage
+    new_snap = read_snapshot(path)
+    _sweep_orphan_generations(path, new_snap)
     after = fragmentation(spark, path, target)
     return {"compacted": True, "before": before, "after": after}

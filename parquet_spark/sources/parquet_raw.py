@@ -334,8 +334,11 @@ def write_file(
         else:
             raise TypeError(f"unsupported type {field.type} for column {field.name!r}")
 
+    from parquet_spark import tablefs
+
     summary: dict = {}
-    with open(path, "wb") as f:
+    _fs, _fsp, _ = tablefs.resolve(path)
+    with _fs.open_output_stream(_fsp) as f:
         f.write(MAGIC)
         offset = 4
         chunks_meta = []
@@ -485,8 +488,9 @@ def _plain_decode(body: memoryview, n: int, phys: int) -> pa.Array:
 
 def read_metadata(path: str) -> dict:
     """Parse the thrift FileMetaData footer into the raw field-id dict."""
-    with open(path, "rb") as f:
-        data = f.read()
+    from parquet_spark import tablefs
+
+    data = tablefs.read_bytes(path)
     if data[:4] != MAGIC or data[-4:] != MAGIC:
         raise ValueError(f"{path}: not a parquet file (missing PAR1 magic)")
     (flen,) = struct.unpack_from("<I", data, len(data) - 8)
@@ -736,14 +740,19 @@ def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int
         table = _pa.concat_tables(tbls)
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         write_file(path, table, compression=compression, page_rows=page_rows)
+        from parquet_spark import tablefs
+
+        _fs, _p, _ = tablefs.resolve(path)
         yield _pa.RecordBatch.from_arrays(
             [
                 _pa.array([path], _pa.string()),
                 _pa.array([table.num_rows], _pa.int64()),
-                _pa.array([os.path.getsize(path)], _pa.int64()),
+                _pa.array([_fs.get_file_info(_p).size], _pa.int64()),
             ],
             names=["path", "n_rows", "n_bytes"],
         )
 
-    os.makedirs(out_dir, exist_ok=True)
+    from parquet_spark import tablefs
+
+    tablefs.mkdirs(out_dir)
     return df.mapInArrow(fn, "path string, n_rows long, n_bytes long")

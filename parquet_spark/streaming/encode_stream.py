@@ -130,5 +130,7 @@ def read_encoded_stream_output(spark: SparkSession, path: str, columns: list[str
     if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
-    blocks = spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(path, "data"))
+    blocks = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(path, snap.get("data_dir", "data"))
+    )
     return decode_table(blocks, schema, columns)

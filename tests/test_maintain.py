@@ -48,6 +48,93 @@ def test_compact_noop_when_already_full(spark, tmp_path):
     assert not rep["compacted"]
 
 
+def test_compact_commits_by_snapshot_pointer_swap(spark, tmp_path):
+    """Compaction must commit rename-less: the rewrite lands in fresh
+    generation dirs and ONE atomic snapshot write swaps the pointer —
+    no directory renames (the scheme an object store can execute). Old
+    generations are swept after commit."""
+    import json
+    import os
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+    from parquet_spark.operators.maintain import compact_table
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "gen_t")
+    df = sequences_df(spark, 3000, seed=31, n_partitions=2)
+    write_encoded(df, path, target_partitions=4, block_rows=128, resume=False)
+    assert read_snapshot(path).get("data_dir", "data") == "data"
+    orig_crc = _crc(read_encoded(spark, path))
+
+    rep = compact_table(spark, path, block_rows=2048, target_partitions=2)
+    assert rep["compacted"]
+    snap = read_snapshot(path)
+    assert snap["data_dir"].startswith("data-")
+    assert snap["manifest_dir"].startswith("manifest-")
+    entries = set(os.listdir(path))
+    assert snap["data_dir"] in entries and snap["manifest_dir"] in entries
+    assert "data" not in entries and "manifest" not in entries  # swept
+    assert _crc(read_encoded(spark, path)) == orig_crc
+
+
+def test_crashed_compaction_leaves_table_live_and_next_sweeps(spark, tmp_path):
+    """A compaction that dies before the snapshot write must leave the old
+    table fully readable; the orphaned generation dirs are swept by the
+    next successful compaction."""
+    import os
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot
+    from parquet_spark.operators.maintain import compact_table
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "crash_gen")
+    df = sequences_df(spark, 2000, seed=32, n_partitions=2)
+    write_encoded(df, path, target_partitions=4, block_rows=128, resume=False)
+    orig_crc = _crc(read_encoded(spark, path))
+    # simulate the crash artifact: an orphaned half-written generation
+    os.makedirs(os.path.join(path, "data-deadbeef"))
+    os.makedirs(os.path.join(path, "manifest-deadbeef"))
+    with open(os.path.join(path, "data-deadbeef", "junk.parquet"), "wb") as f:
+        f.write(b"torn")
+    # old table still live (snapshot untouched)
+    assert _crc(read_encoded(spark, path)) == orig_crc
+    rep = compact_table(spark, path, block_rows=2048, target_partitions=2)
+    assert rep["compacted"]
+    entries = set(os.listdir(path))
+    assert "data-deadbeef" not in entries and "manifest-deadbeef" not in entries
+    snap = read_snapshot(path)
+    assert snap["data_dir"] in entries
+    assert _crc(read_encoded(spark, path)) == orig_crc
+
+
+def test_resume_targets_live_generation_after_compaction(spark, tmp_path):
+    """write_encoded resume on a compacted table must operate on the
+    snapshot's generation dirs, not the default names."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+    from parquet_spark.operators.maintain import compact_table
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "resume_gen")
+    df = sequences_df(spark, 2000, seed=33, n_partitions=2)
+    write_encoded(df, path, target_partitions=4, block_rows=128, resume=False, fingerprint="rg1")
+    compact_table(spark, path, block_rows=2048, target_partitions=2, bucket_mode="salted")
+    assert read_snapshot(path)["data_dir"].startswith("data-")
+    # same plan inputs as the compaction → bucket ids correspond → skip-all
+    s = write_encoded(df, path, target_partitions=2, resume=True, fingerprint="rg1", bucket_mode="salted")
+    assert s["buckets_skipped"] == s["buckets_total"] > 0  # found the live gen
+    assert read_encoded(spark, path).count() == 2000
+    # DIFFERENT target_partitions → recomputed salted plan no longer
+    # matches the recorded one → full re-encode, never a partial skip
+    s2 = write_encoded(df, path, target_partitions=7, resume=True, fingerprint="rg1", bucket_mode="salted")
+    assert s2["buckets_skipped"] == 0
+    assert read_encoded(spark, path).count() == 2000
+    assert read_encoded(spark, path).select("doc_id").distinct().count() == 2000
+
+
 def test_recover_table_after_interrupted_swap(spark, tmp_path):
     """Simulate a crash between compact_table's two renames: the table is
     parked at <path>.old; read_encoded must recover it transparently."""
