@@ -262,6 +262,48 @@ def _q_interop_parquet_list(spark, sf_dir):
     ).withColumn("idx", F.col("idx").cast("int"))
 
 
+def _q_interop_parquet_struct(spark, sf_dir):
+    """Interop of NESTED STRUCT columns (reference cmd/parquetgen/parse/
+    parse.go:108-114 — structs flatten to dotted-path leaves like
+    `hobby.skill.name`; generated instance parquet_generated_test.go:66):
+    the raw writer emits per-leaf chunks with per-level definition chains,
+    PYARROW (third-party) re-reads the file, and the flattened fields must
+    hash-match the oracle — including nulls at every nesting level."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    src = df.select(
+        "l_orderkey",
+        F.when(
+            F.col("l_linenumber") % 7 != 0,
+            F.struct(
+                F.when(F.col("l_linenumber") % 5 != 0, F.col("l_returnflag")).alias("flag"),
+                F.col("l_extendedprice").alias("price"),
+                F.when(
+                    F.col("l_linenumber") % 3 != 0,
+                    F.struct(F.col("l_linenumber").alias("num")),
+                ).alias("ln"),
+            ),
+        ).alias("s"),
+    )
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/struct.parquet"
+    parquet_raw.write_file(path, src.toArrow(), compression="snappy")
+    back = pq.read_table(path)  # third-party reader proves the layout
+    rt = spark.createDataFrame(back)
+    return rt.select(
+        "l_orderkey",
+        F.col("s.flag").alias("flag"),
+        F.col("s.price").alias("price"),
+        F.col("s.ln.num").alias("num"),
+    )
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -277,10 +319,19 @@ def _q_stats_ndv(spark, sf_dir):
 
 
 def _q_stats_run_length(spark, sf_dir):
+    """Partitioned run-length window — the 100-TB plan shape: one hash
+    shuffle on the partition key, runs counted independently per
+    partition (deterministic because (l_orderkey, l_linenumber) is a
+    total order within each l_orderkey%16 partition). The unpartitioned
+    variant (a one-partition global sort) stays available for tiny
+    relations only; this contract query certifies the scalable path."""
     from parquet_spark.functions import run_length_stats
 
     df = _t(spark, sf_dir, "lineitem")
-    return run_length_stats(df, "l_returnflag", ["l_orderkey", "l_linenumber"])
+    return run_length_stats(
+        df, "l_returnflag", ["l_orderkey", "l_linenumber"],
+        partition_col="pmod(l_orderkey, 16)",
+    )
 
 
 def _q_stats_dict_estimate(spark, sf_dir):
@@ -444,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_write": _q_interop_parquet_write,
         "interop_parquet_read": _q_interop_parquet_read,
         "interop_parquet_list": _q_interop_parquet_list,
+        "interop_parquet_struct": _q_interop_parquet_struct,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -512,6 +564,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx, "
             "unnest(embedding) AS val, label FROM embeddings"
         ),
+        "interop_parquet_struct": (
+            # flattened view of the nested struct: a null at any ancestor
+            # level nulls every field beneath it (Dremel def-level chain)
+            "SELECT l_orderkey, "
+            "CASE WHEN l_linenumber % 7 <> 0 AND l_linenumber % 5 <> 0 "
+            "THEN l_returnflag END AS flag, "
+            "CASE WHEN l_linenumber % 7 <> 0 THEN l_extendedprice END AS price, "
+            "CASE WHEN l_linenumber % 7 <> 0 AND l_linenumber % 3 <> 0 "
+            "THEN l_linenumber END AS num "
+            "FROM lineitem"
+        ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from
         # Spark's int64 even when every value agrees
@@ -533,10 +596,15 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT l_orderkey) AS ndv_l_orderkey FROM lineitem"
         ),
         "stats_run_length": (
-            "WITH runs AS (SELECT CASE WHEN l_returnflag <> lag(l_returnflag) "
-            "OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 ELSE 1 END AS chg_raw, "
-            "CASE WHEN lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) IS NULL THEN 1 "
-            "WHEN l_returnflag <> lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 "
+            # partitioned window, mirroring the Spark side: runs counted
+            # independently per l_orderkey%16 partition (first row of each
+            # partition starts a run), summed — deterministic because
+            # (l_orderkey, l_linenumber) totally orders each partition
+            "WITH runs AS (SELECT "
+            "CASE WHEN lag(l_returnflag) OVER (PARTITION BY l_orderkey % 16 "
+            "ORDER BY l_orderkey, l_linenumber) IS NULL THEN 1 "
+            "WHEN l_returnflag <> lag(l_returnflag) OVER (PARTITION BY l_orderkey % 16 "
+            "ORDER BY l_orderkey, l_linenumber) THEN 1 "
             "ELSE 0 END AS chg FROM lineitem) "
             "SELECT count(*) AS n_values, CAST(sum(chg) AS BIGINT) AS n_runs FROM runs"
         ),

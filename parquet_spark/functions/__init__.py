@@ -36,16 +36,19 @@ def run_length_stats(
 ) -> DataFrame:
     """Run structure of `col` under a total order: n_values, n_runs.
 
-    With `partition_col` the window is partitioned — each partition's runs
-    are counted independently after one hash shuffle (the 100-TB plan;
-    n_runs is then the sum of per-partition runs, which over-counts by at
-    most n_partitions-1 boundary runs — exact per partition). Without it,
-    the single unpartitioned window is a ONE-PARTITION global sort: keep it
-    for oracle parity / small relations only. The engine's production path
-    computes run stats per block inside the encode kernel
-    (stats/analyze.py) with no shuffle at all."""
+    With `partition_col` (a column name OR expression string, e.g.
+    "pmod(l_orderkey, 16)") the window is partitioned — each partition's
+    runs are counted independently after one hash shuffle (the 100-TB
+    plan; n_runs is then the sum of per-partition runs, which over-counts
+    by at most n_partitions-1 boundary runs — exact per partition, and
+    deterministic whenever order_cols is a total order within each
+    partition). Without it, the single unpartitioned window is a
+    ONE-PARTITION global sort: keep it for oracle parity / small
+    relations only. The engine's production path computes run stats per
+    block inside the encode kernel (stats/analyze.py) with no shuffle at
+    all."""
     if partition_col is not None:
-        w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
+        w = Window.partitionBy(F.expr(partition_col)).orderBy(*[F.col(c) for c in order_cols])
     else:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
     changed = (F.col(col) != F.lag(col, 1).over(w)).cast("long")

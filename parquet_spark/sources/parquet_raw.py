@@ -309,30 +309,146 @@ def _list_levels(arr: pa.ListArray, outer_optional: bool, elem_optional: bool):
     return rep, defs, values.drop_null() if values.null_count else values, total
 
 
-def write_file(
-    path: str,
-    table: pa.Table,
-    compression: str = "none",
-    page_rows: int = 65536,
-    created_by: str = "parquet_spark raw writer",
-) -> dict:
-    """Write `table` (flat schema) as a standards-compliant Parquet v1
-    file. Returns a summary {column: {pages, bytes}} for inspection."""
-    codec_id = CODEC_IDS[compression]
-    codec = None if compression == "none" else pa.Codec(compression)
-    cols = []  # (name, phys, field, elem_field_or_None)
-    for field in table.schema:
+def _leaf_specs(schema: pa.Schema) -> list[dict]:
+    """Flatten the schema into leaf write specs — the reference's
+    dotted-path struct flattening (/root/reference/cmd/parquetgen/parse/
+    parse.go:108-114: nested structs become `a.b.c` leaf columns).
+
+    kind="chain": non-repeated leaf (flat or nested in structs);
+      path=[names...], chain=[(name, nullable)...], phys, leaf_type.
+    kind="list": one-level list column (Dremel rep/def layout)."""
+    leaves: list[dict] = []
+
+    def rec(f: pa.Field, path: list[str], chain: list[tuple[str, bool]]) -> None:
+        path = path + [f.name]
+        chain = chain + [(f.name, f.nullable)]
+        if pa.types.is_struct(f.type):
+            for child in f.type:
+                rec(child, path, chain)
+        elif f.type in _PA_TO_PHYS:
+            leaves.append(dict(kind="chain", path=path, chain=chain,
+                               phys=_PA_TO_PHYS[f.type], leaf_type=f.type))
+        else:
+            raise TypeError(
+                f"unsupported type {f.type} for column {'.'.join(path)!r}"
+                + (" (lists inside structs not supported)" if pa.types.is_list(f.type) else "")
+            )
+
+    for field in schema:
         if pa.types.is_list(field.type):
             elem = field.type.value_field
             if elem.type not in _PA_TO_PHYS:
                 raise TypeError(
                     f"unsupported list element type {elem.type} for column {field.name!r}"
                 )
-            cols.append((field.name, _PA_TO_PHYS[elem.type], field, elem))
-        elif field.type in _PA_TO_PHYS:
-            cols.append((field.name, _PA_TO_PHYS[field.type], field, None))
+            leaves.append(dict(kind="list", path=[field.name], field=field,
+                               elem=elem, phys=_PA_TO_PHYS[elem.type]))
         else:
-            raise TypeError(f"unsupported type {field.type} for column {field.name!r}")
+            rec(field, [], [])
+    return leaves
+
+
+def _chain_levels(top: pa.Array, chain: list[tuple[str, bool]]):
+    """Definition chain for a non-repeated (possibly struct-nested) leaf:
+    def level = number of defined OPTIONAL ancestors including the leaf —
+    Dremel without repetition, the encode side of the reference's
+    per-level optional handling (fields.go:96-135 generalized to depth).
+    Returns (def_levels, max_def, dense_leaf_values). Raises on a null in
+    a REQUIRED node whose parent is defined (unrepresentable)."""
+    import pyarrow.compute as pc
+
+    n = len(top)
+    defined = np.ones(n, bool)
+    def_lvl = np.zeros(n, np.uint64)
+    cur = top
+    for depth, (name, nullable) in enumerate(chain):
+        if depth:
+            cur = cur.field(name)
+        node_null = np.asarray(pc.is_null(cur))
+        if nullable:
+            nv = defined & ~node_null
+            def_lvl += nv
+            defined = nv
+        elif bool((node_null & defined).any()):
+            dotted = ".".join(p for p, _ in chain[: depth + 1])
+            raise ValueError(
+                f"column {dotted!r} is declared non-nullable but holds null(s)"
+            )
+    max_def = sum(1 for _, nb in chain if nb)
+    dense = cur if bool(defined.all()) else cur.filter(pa.array(defined))
+    return def_lvl, max_def, dense
+
+
+def _emit_schema_elem(w: "TCWriter", field: pa.Field) -> None:
+    """Recursive SchemaElement emission (ids ascending: 1 type,
+    3 repetition, 4 name, 5 num_children, 6 converted_type)."""
+    if pa.types.is_struct(field.type):
+        w.elem_struct_begin()
+        w.i32(3, OPTIONAL if field.nullable else REQUIRED)
+        w.binary(4, field.name)
+        w.i32(5, field.type.num_fields)
+        w.elem_struct_end()
+        for child in field.type:
+            _emit_schema_elem(w, child)
+        return
+    if pa.types.is_list(field.type):
+        elem = field.type.value_field
+        # 3-level LIST: <repetition> group name (LIST) {
+        #   repeated group list { <elem-repetition> element } }
+        w.elem_struct_begin()
+        w.i32(3, OPTIONAL if field.nullable else REQUIRED)
+        w.binary(4, field.name)
+        w.i32(5, 1)
+        w.i32(6, CONVERTED_LIST)
+        w.elem_struct_end()
+        w.elem_struct_begin()
+        w.i32(3, REPEATED)
+        w.binary(4, "list")
+        w.i32(5, 1)
+        w.elem_struct_end()
+        w.elem_struct_begin()
+        w.i32(1, _PA_TO_PHYS[elem.type])
+        w.i32(3, OPTIONAL if elem.nullable else REQUIRED)
+        w.binary(4, "element")
+        conv = _PA_CONVERTED.get(elem.type)
+        if conv is not None:
+            w.i32(6, conv)
+        w.elem_struct_end()
+        return
+    w.elem_struct_begin()
+    w.i32(1, _PA_TO_PHYS[field.type])
+    w.i32(3, OPTIONAL if field.nullable else REQUIRED)
+    w.binary(4, field.name)
+    conv = _PA_CONVERTED.get(field.type)
+    if conv is not None:
+        w.i32(6, conv)
+    w.elem_struct_end()
+
+
+def _schema_elem_count(field: pa.Field) -> int:
+    if pa.types.is_struct(field.type):
+        return 1 + sum(_schema_elem_count(c) for c in field.type)
+    return 3 if pa.types.is_list(field.type) else 1
+
+
+def write_file(
+    path: str,
+    table: pa.Table,
+    compression: str = "none",
+    page_rows: int = 65536,
+    created_by: str = "parquet_spark raw writer",
+    row_group_rows: int | None = None,
+) -> dict:
+    """Write `table` (flat, one-level-list, or nested-struct schema) as a
+    standards-compliant Parquet v1 file. Struct columns are flattened to
+    dotted-path leaves with per-level definition chains (the reference's
+    layout, parse.go:108-114). `row_group_rows` rolls a new row group
+    every N rows — the reference's one-row-group-per-Write() semantics
+    (/root/reference/README.md:70-72); default one group for the file.
+    Returns a summary {dotted_column: {pages, bytes}} for inspection."""
+    codec_id = CODEC_IDS[compression]
+    codec = None if compression == "none" else pa.Codec(compression)
+    leaves = _leaf_specs(table.schema)
 
     from parquet_spark import tablefs
 
@@ -341,131 +457,118 @@ def write_file(
     with _fs.open_output_stream(_fsp) as f:
         f.write(MAGIC)
         offset = 4
-        chunks_meta = []
-        for (name, phys, field, elem), col in zip(cols, table.columns):
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            optional = field.nullable
-            if not optional and arr.null_count:
-                # a REQUIRED column writes no def levels, so nulls here would
-                # silently produce a value stream shorter than num_values —
-                # an unreadable file; fail at write time instead
-                raise ValueError(
-                    f"column {name!r} is declared non-nullable but holds "
-                    f"{arr.null_count} null(s)"
+        rg_size = row_group_rows or max(table.num_rows, 1)
+        rg_tables = [table.slice(s, rg_size) for s in range(0, table.num_rows, rg_size)] or [table]
+        rgs_meta: list[tuple[list[dict], int]] = []
+        for rg_tbl in rg_tables:
+            chunks_meta = []
+            for leaf in leaves:
+                phys = leaf["phys"]
+                col = rg_tbl.column(leaf["path"][0])
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                is_list = leaf["kind"] == "list"
+                if is_list:
+                    field, elem = leaf["field"], leaf["elem"]
+                    optional = field.nullable
+                    if not optional and arr.null_count:
+                        raise ValueError(
+                            f"column {field.name!r} is declared non-nullable but holds "
+                            f"{arr.null_count} null(s)"
+                        )
+                    if not elem.nullable and arr.flatten().null_count:
+                        raise ValueError(
+                            f"column {field.name!r}: element declared non-nullable but holds nulls"
+                        )
+                    max_def = (1 if optional else 0) + 1 + (1 if elem.nullable else 0)
+                data_page_offset = offset
+                total_comp = total_uncomp = 0
+                n_pages = 0
+                n_values_total = 0
+                for start in range(0, len(arr), page_rows):
+                    page = arr.slice(start, page_rows)
+                    body = b""
+                    if is_list:
+                        # repeated column: rep levels + def levels + dense
+                        # values (Dremel layout, ref fields.go:232-271)
+                        rep, defs, dense, n_vals = _list_levels(page, optional, elem.nullable)
+                        body += rle.encode(rep, 1)
+                        body += rle.encode(defs, _bit_width(max_def))
+                        values, _ = _plain_encode(dense, phys)
+                        body += values
+                    else:
+                        # a REQUIRED chain writes no def levels, so a null
+                        # under a defined parent would silently produce a
+                        # value stream shorter than num_values — an
+                        # unreadable file; _chain_levels fails loudly
+                        defs, max_def, dense = _chain_levels(page, leaf["chain"])
+                        if max_def:
+                            body += rle.encode(defs, _bit_width(max_def))
+                        values, _ = _plain_encode(dense, phys)
+                        body += values
+                        n_vals = len(page)
+                    n_values_total += n_vals
+                    comp_body = codec.compress(body).to_pybytes() if codec else body
+                    hdr = TCWriter()
+                    hdr.i32(1, PAGE_DATA)
+                    hdr.i32(2, len(body))
+                    hdr.i32(3, len(comp_body))
+                    hdr.struct_begin(5)  # DataPageHeader
+                    hdr.i32(1, n_vals)
+                    hdr.i32(2, ENC_PLAIN)
+                    hdr.i32(3, ENC_RLE)  # definition levels
+                    # repetition levels: RLE when present, BIT_PACKED marker when flat
+                    hdr.i32(4, ENC_RLE if is_list else ENC_BIT_PACKED)
+                    hdr.struct_end()
+                    page_bytes = hdr.finish() + comp_body
+                    f.write(page_bytes)
+                    offset += len(page_bytes)
+                    total_comp += len(page_bytes)
+                    total_uncomp += len(hdr.buf) + len(body)
+                    n_pages += 1
+                dotted = ".".join(leaf["path"])
+                chunks_meta.append(
+                    dict(name=dotted, phys=phys, n_values=n_values_total, codec=codec_id,
+                         uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset,
+                         path=leaf["path"] if not is_list else [leaf["path"][0], "list", "element"])
                 )
-            if elem is not None and not elem.nullable and arr.flatten().null_count:
-                raise ValueError(
-                    f"column {name!r}: element declared non-nullable but holds nulls"
-                )
-            max_def = (1 if optional else 0) + (1 + (1 if elem.nullable else 0) if elem is not None else 0)
-            data_page_offset = offset
-            total_comp = total_uncomp = 0
-            n_pages = 0
-            n_values_total = 0
-            for start in range(0, len(arr), page_rows):
-                page = arr.slice(start, page_rows)
-                body = b""
-                if elem is not None:
-                    # repeated column: rep levels + def levels + dense values
-                    # (Dremel layout, ref fields.go:232-271)
-                    rep, defs, dense, n_vals = _list_levels(page, optional, elem.nullable)
-                    body += rle.encode(rep, 1)
-                    body += rle.encode(defs, _bit_width(max_def))
-                    values, _ = _plain_encode(dense, phys)
-                    body += values
-                else:
-                    if optional:
-                        body += _def_levels(page)
-                    values, n_vals = _plain_encode(page, phys)
-                    body += values
-                n_values_total += n_vals
-                comp_body = codec.compress(body).to_pybytes() if codec else body
-                hdr = TCWriter()
-                hdr.i32(1, PAGE_DATA)
-                hdr.i32(2, len(body))
-                hdr.i32(3, len(comp_body))
-                hdr.struct_begin(5)  # DataPageHeader
-                hdr.i32(1, n_vals)
-                hdr.i32(2, ENC_PLAIN)
-                hdr.i32(3, ENC_RLE)  # definition levels
-                # repetition levels: RLE when present, BIT_PACKED marker when flat
-                hdr.i32(4, ENC_RLE if elem is not None else ENC_BIT_PACKED)
-                hdr.struct_end()
-                page_bytes = hdr.finish() + comp_body
-                f.write(page_bytes)
-                offset += len(page_bytes)
-                total_comp += len(page_bytes)
-                total_uncomp += len(hdr.buf) + len(body)
-                n_pages += 1
-            chunks_meta.append(
-                dict(name=name, phys=phys, n_values=n_values_total, codec=codec_id,
-                     uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset,
-                     path=[name] if elem is None else [name, "list", "element"])
-            )
-            summary[name] = {"pages": n_pages, "bytes": total_comp}
+                s = summary.setdefault(dotted, {"pages": 0, "bytes": 0})
+                s["pages"] += n_pages
+                s["bytes"] += total_comp
+            rgs_meta.append((chunks_meta, rg_tbl.num_rows))
 
         # FileMetaData footer
         w = TCWriter()
         w.i32(1, 1)  # version
-        n_elems = 1 + sum(3 if e is not None else 1 for _, _, _, e in cols)
+        n_elems = 1 + sum(_schema_elem_count(fld) for fld in table.schema)
         w.struct_list_begin(2, n_elems)  # schema: root + nodes
         w.elem_struct_begin()
         w.binary(4, "schema")
-        w.i32(5, len(cols))
+        w.i32(5, len(table.schema))
         w.elem_struct_end()
-        for name, phys, field, elem in cols:
-            if elem is not None:
-                # 3-level LIST: <repetition> group name (LIST) {
-                #   repeated group list { <elem-repetition> element } }
-                w.elem_struct_begin()
-                w.i32(3, OPTIONAL if field.nullable else REQUIRED)
-                w.binary(4, name)
-                w.i32(5, 1)
-                w.i32(6, CONVERTED_LIST)
-                w.elem_struct_end()
-                w.elem_struct_begin()
-                w.i32(3, REPEATED)
-                w.binary(4, "list")
-                w.i32(5, 1)
-                w.elem_struct_end()
-                w.elem_struct_begin()
-                w.i32(1, phys)
-                w.i32(3, OPTIONAL if elem.nullable else REQUIRED)
-                w.binary(4, "element")
-                conv = _PA_CONVERTED.get(elem.type)
-                if conv is not None:
-                    w.i32(6, conv)
-                w.elem_struct_end()
-                continue
-            w.elem_struct_begin()
-            w.i32(1, phys)
-            w.i32(3, OPTIONAL if field.nullable else REQUIRED)
-            w.binary(4, name)
-            conv = _PA_CONVERTED.get(field.type)
-            if conv is not None:
-                w.i32(6, conv)
-            w.elem_struct_end()
+        for fld in table.schema:
+            _emit_schema_elem(w, fld)
         w.i64(3, table.num_rows)
-        w.struct_list_begin(4, 1)  # one row group
-        w.elem_struct_begin()
-        w.struct_list_begin(1, len(chunks_meta))  # columns
-        for cm in chunks_meta:
+        w.struct_list_begin(4, len(rgs_meta))
+        for chunks_meta, rg_rows in rgs_meta:
             w.elem_struct_begin()
-            w.i64(2, cm["page_off"])  # file_offset
-            w.struct_begin(3)  # ColumnMetaData
-            w.i32(1, cm["phys"])
-            w.i32_list(2, [ENC_PLAIN, ENC_RLE])
-            w.str_list(3, cm["path"])
-            w.i32(4, cm["codec"])
-            w.i64(5, cm["n_values"])
-            w.i64(6, cm["uncomp"])
-            w.i64(7, cm["comp"])
-            w.i64(9, cm["page_off"])  # data_page_offset
-            w.struct_end()
+            w.struct_list_begin(1, len(chunks_meta))  # columns
+            for cm in chunks_meta:
+                w.elem_struct_begin()
+                w.i64(2, cm["page_off"])  # file_offset
+                w.struct_begin(3)  # ColumnMetaData
+                w.i32(1, cm["phys"])
+                w.i32_list(2, [ENC_PLAIN, ENC_RLE])
+                w.str_list(3, cm["path"])
+                w.i32(4, cm["codec"])
+                w.i64(5, cm["n_values"])
+                w.i64(6, cm["uncomp"])
+                w.i64(7, cm["comp"])
+                w.i64(9, cm["page_off"])  # data_page_offset
+                w.struct_end()
+                w.elem_struct_end()
+            w.i64(2, sum(cm["comp"] for cm in chunks_meta))
+            w.i64(3, rg_rows)
             w.elem_struct_end()
-        w.i64(2, sum(cm["comp"] for cm in chunks_meta))
-        w.i64(3, table.num_rows)
-        w.elem_struct_end()
         w.binary(6, created_by)
         footer = w.finish()
         f.write(footer)
@@ -502,52 +605,92 @@ def _parse_schema(elems: list[dict]) -> list[dict]:
     """Depth-first SchemaElement walk → one info dict per top-level column.
     Supported shapes: flat primitive leaves; one-level lists in the
     3-level LIST layout, the 2-level layout (repeated leaf under a group),
-    and the reference's bare repeated leaf (fields.go:232-271). Deeper
-    nesting raises NotImplementedError."""
+    the reference's bare repeated leaf (fields.go:232-271); and nested
+    STRUCT groups of arbitrary depth with primitive leaves (the
+    reference's dotted-path flatten, parse.go:108-114) — each leaf an
+    independent chunk whose def levels count defined optional ancestors.
+    Lists inside structs / structs inside lists raise NotImplementedError.
+
+    Struct top-level infos: {name, kind: "struct", node: tree} where tree
+    nodes carry opt_count (cumulative optional depth) and leaves carry
+    max_def + dotted path."""
     root = elems[0]
     idx = 1
-    out = []
-    for _ in range(root[5]):
+
+    def parse(depth_opt: int, path: list[str]) -> dict:
+        nonlocal idx
         e = elems[idx]
         idx += 1
         name = e[4].decode()
         rep_t = e.get(3, REQUIRED)
         nchild = e.get(5, 0)
+        dotted_parent = ".".join(path + [name])
+        if nchild == 0 and rep_t == REPEATED:
+            if path:
+                raise NotImplementedError(
+                    f"column {dotted_parent!r}: repeated field inside struct not supported"
+                )
+            # bare repeated leaf: a list with no null/empty distinction
+            return dict(name=name, kind="list", phys=e[1], elem_conv=e.get(6),
+                        d_list=0, d_entry=1, d_valid=1, elem_opt=False, outer_opt=False)
         if nchild == 0:
-            if rep_t == REPEATED:
-                # bare repeated leaf: a list with no null/empty distinction
-                out.append(dict(name=name, kind="list", phys=e[1], elem_conv=e.get(6),
-                                d_list=0, d_entry=1, d_valid=1, elem_opt=False, outer_opt=False))
-            else:
-                out.append(dict(name=name, kind="flat", phys=e[1], conv=e.get(6),
-                                opt=rep_t == OPTIONAL))
-            continue
+            opt = rep_t == OPTIONAL
+            max_def = depth_opt + (1 if opt else 0)
+            return dict(name=name, kind="leaf", phys=e[1], conv=e.get(6), opt=opt,
+                        max_def=max_def, path=dotted_parent)
         outer_opt = rep_t == OPTIONAL
-        d_list = 1 if outer_opt else 0
-        if nchild != 1:
-            raise NotImplementedError(f"column {name!r}: struct schemas not supported by the raw reader")
-        mid = elems[idx]
-        idx += 1
-        if mid.get(3, REQUIRED) != REPEATED:
-            raise NotImplementedError(f"column {name!r}: non-list group schemas not supported")
-        mid_child = mid.get(5, 0)
-        if mid_child == 0:
-            # 2-level list: repeated leaf directly under the outer group
-            out.append(dict(name=name, kind="list", phys=mid[1], elem_conv=mid.get(6),
+        if nchild == 1 and elems[idx].get(3, REQUIRED) == REPEATED:
+            if path:
+                raise NotImplementedError(
+                    f"column {dotted_parent!r}: list inside struct not supported"
+                )
+            d_list = 1 if outer_opt else 0
+            mid = elems[idx]
+            idx += 1
+            mid_child = mid.get(5, 0)
+            if mid_child == 0:
+                # 2-level list: repeated leaf directly under the outer group
+                return dict(name=name, kind="list", phys=mid[1], elem_conv=mid.get(6),
                             d_list=d_list, d_entry=d_list + 1, d_valid=d_list + 1,
-                            elem_opt=False, outer_opt=outer_opt))
-            continue
-        if mid_child != 1:
-            raise NotImplementedError(f"column {name!r}: nested struct inside list not supported")
-        leaf = elems[idx]
-        idx += 1
-        if leaf.get(5, 0):
-            raise NotImplementedError(f"column {name!r}: nested lists not supported")
-        elem_opt = leaf.get(3, REQUIRED) == OPTIONAL
-        out.append(dict(name=name, kind="list", phys=leaf[1], elem_conv=leaf.get(6),
+                            elem_opt=False, outer_opt=outer_opt)
+            if mid_child != 1:
+                raise NotImplementedError(f"column {name!r}: nested struct inside list not supported")
+            leaf = elems[idx]
+            idx += 1
+            if leaf.get(5, 0):
+                raise NotImplementedError(f"column {name!r}: nested lists not supported")
+            elem_opt = leaf.get(3, REQUIRED) == OPTIONAL
+            return dict(name=name, kind="list", phys=leaf[1], elem_conv=leaf.get(6),
                         d_list=d_list, d_entry=d_list + 1,
                         d_valid=d_list + 1 + (1 if elem_opt else 0),
-                        elem_opt=elem_opt, outer_opt=outer_opt))
+                        elem_opt=elem_opt, outer_opt=outer_opt)
+        # struct group: recurse over children (leaves or nested structs)
+        d = depth_opt + (1 if outer_opt else 0)
+        children = [parse(d, path + [name]) for _ in range(nchild)]
+        for c in children:
+            if c["kind"] not in ("leaf", "struct"):
+                raise NotImplementedError(
+                    f"column {dotted_parent!r}: {c['kind']} inside struct not supported"
+                )
+        return dict(name=name, kind="struct", opt=outer_opt, opt_count=d,
+                    children=children, path=dotted_parent)
+
+    out = []
+    for _ in range(root[5]):
+        node = parse(0, [])
+        if node["kind"] == "leaf":
+            node = dict(node, kind="flat")
+        out.append(node)
+    return out
+
+
+def _struct_leaves(node: dict) -> list[dict]:
+    """All primitive leaves under a struct node, schema order."""
+    if node["kind"] in ("leaf", "flat"):
+        return [node]
+    out: list[dict] = []
+    for c in node["children"]:
+        out.extend(_struct_leaves(c))
     return out
 
 
@@ -594,9 +737,9 @@ def _assemble_list(rep: np.ndarray, defs: np.ndarray, dense: pa.Array, info: dic
 
 
 def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Read a Parquet v1 file (flat or one-level-list schema, PLAIN or
-    dictionary-free subset) into a pa.Table, using only this module's
-    parsers and the engine's plain/rle kernels."""
+    """Read a Parquet v1 file (flat, one-level-list, or nested-struct
+    schema; PLAIN or dictionary-free subset) into a pa.Table, using only
+    this module's parsers and the engine's plain/rle kernels."""
     parsed = read_metadata(path)
     data, meta = memoryview(parsed["_raw"]), parsed["meta"]
     infos = _parse_schema(meta[2])
@@ -608,12 +751,26 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
     if unknown:
         raise KeyError(f"column(s) {unknown} not in parquet file; available: {names}")
 
-    arrays: dict[str, list[pa.Array]] = {c: [] for c in want}
+    # leaf registry: struct leaves are independent chunks addressed by
+    # their dotted path_in_schema; flat/list columns by top-level name
+    leaf_of: dict[str, dict] = {}
+    for i in infos:
+        if i["kind"] == "struct":
+            for lf in _struct_leaves(i):
+                leaf_of[lf["path"]] = dict(lf, kind="struct_leaf")
+        elif i["kind"] == "flat":
+            leaf_of[i["name"]] = i
+
+    want_set = set(want)
+    arrays: dict[str, list[pa.Array]] = {}
+    defs_acc: dict[str, list[np.ndarray]] = {}
     for rg in meta[4]:
         for chunk in rg[1]:
             cm = chunk[3]
-            name = cm[3][0].decode()
-            if name not in want:
+            parts = [p.decode() for p in cm[3]]
+            name = parts[0]
+            dotted = ".".join(parts)
+            if name not in want_set:
                 continue
             phys, n_total, codec_id = cm[1], cm[5], cm[4]
             codec_name = CODEC_NAMES.get(codec_id)
@@ -644,7 +801,7 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                 n_vals, enc, def_enc = dph[1], dph[2], dph[3]
                 if enc not in (ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE_DICT):
                     raise NotImplementedError(f"value encoding {enc}")
-                info = by_name[name]
+                info = leaf_of.get(dotted) or by_name[name]
                 off = 0
                 if info["kind"] == "list":
                     if enc != ENC_PLAIN:
@@ -660,17 +817,23 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     dense = _convert_values(
                         _plain_decode(body[off:], n_dense, phys), info["elem_conv"]
                     )
-                    arrays[name].append(_assemble_list(reps, defs, dense, info))
+                    arrays.setdefault(name, []).append(_assemble_list(reps, defs, dense, info))
                     got += n_vals
                     continue
+                # non-repeated leaf: def levels count defined optional
+                # ancestors (max_def 1 for a flat optional column, deeper
+                # for struct leaves)
+                max_def = info.get("max_def", 1 if info.get("opt") else 0)
                 validity = None
-                if info["opt"]:
+                if max_def:
                     if def_enc != ENC_RLE:
                         raise NotImplementedError(f"definition-level encoding {def_enc}")
-                    levels, consumed = rle.decode(body, n_vals, 1)
+                    levels, consumed = rle.decode(body, n_vals, _bit_width(max_def))
                     off += consumed
-                    if int(levels.sum()) != n_vals:
-                        validity = levels.astype(bool)
+                    if info["kind"] == "struct_leaf":
+                        defs_acc.setdefault(dotted, []).append(levels.copy())
+                    if not bool((levels == max_def).all()):
+                        validity = levels == max_def
                 n_dense = n_vals if validity is None else int(validity.sum())
                 if enc == ENC_PLAIN:
                     vals = _plain_decode(body[off:], n_dense, phys)
@@ -686,32 +849,80 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     idx = np.zeros(n_vals, dtype=np.int64)
                     idx[validity] = np.arange(n_dense)
                     vals = vals.take(pa.array(idx, pa.int64(), mask=~validity))
-                arrays[name].append(_convert_values(vals, info["conv"]))
+                key = dotted if info["kind"] == "struct_leaf" else name
+                arrays.setdefault(key, []).append(_convert_values(vals, info["conv"]))
                 got += n_vals
-
-    phys_pa = {T_BOOLEAN: pa.bool_(), T_INT32: pa.int32(), T_INT64: pa.int64(),
-               T_FLOAT: pa.float32(), T_DOUBLE: pa.float64()}
-
-    def _empty_type(info: dict) -> pa.DataType:
-        conv = info.get("conv") if info["kind"] == "flat" else info.get("elem_conv")
-        if info["phys"] == T_BYTE_ARRAY:
-            t = pa.string() if conv == CONVERTED_UTF8 else pa.binary()
-        elif conv == CONVERTED_UINT_32:
-            t = pa.uint32()
-        elif conv == CONVERTED_UINT_64:
-            t = pa.uint64()
-        else:
-            t = phys_pa[info["phys"]]
-        return pa.list_(t) if info["kind"] == "list" else t
 
     out = []
     for c in want:
-        chunks = arrays[c]
+        top = by_name[c]
+        if top["kind"] == "struct":
+            out.append(_assemble_struct_column(top, arrays, defs_acc))
+            continue
+        chunks = arrays.get(c, [])
         if not chunks:  # zero-row file
-            out.append(pa.array([], _empty_type(by_name[c])))
+            out.append(pa.array([], _empty_type(top)))
         else:
             out.append(pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0])
     return pa.table(out, names=list(want))
+
+
+_PHYS_PA = {T_BOOLEAN: pa.bool_(), T_INT32: pa.int32(), T_INT64: pa.int64(),
+            T_FLOAT: pa.float32(), T_DOUBLE: pa.float64()}
+
+
+def _empty_type(info: dict) -> pa.DataType:
+    if info["kind"] == "struct":
+        return pa.struct([
+            pa.field(c["name"], _empty_type(c), nullable=c.get("opt", True))
+            for c in info["children"]
+        ])
+    conv = info.get("elem_conv") if info["kind"] == "list" else info.get("conv")
+    if info["phys"] == T_BYTE_ARRAY:
+        t = pa.string() if conv == CONVERTED_UTF8 else pa.binary()
+    elif conv == CONVERTED_UINT_32:
+        t = pa.uint32()
+    elif conv == CONVERTED_UINT_64:
+        t = pa.uint64()
+    else:
+        t = _PHYS_PA[info["phys"]]
+    return pa.list_(t) if info["kind"] == "list" else t
+
+
+def _assemble_struct_column(info: dict, arrays: dict, defs_acc: dict) -> pa.Array:
+    """Reassemble a nested-struct column from its dotted-path leaf chunks:
+    per-node validity = (leaf def level >= the node's cumulative optional
+    depth) — any descendant leaf's defs carry the ancestor chain, so the
+    first one serves as the reference (the read side of the reference's
+    per-level optional assembly, fields.go:96-135 generalized)."""
+
+    def build(node: dict):
+        if node["kind"] == "leaf":
+            chunks = arrays.get(node["path"], [])
+            if not chunks:
+                vals = pa.array([], _empty_type(node))
+            else:
+                vals = pa.concat_arrays(chunks) if len(chunks) != 1 else chunks[0]
+            dl = defs_acc.get(node["path"], [])
+            if not dl:
+                defs = np.full(len(vals), node["max_def"], np.uint64)
+            else:
+                defs = np.concatenate(dl) if len(dl) != 1 else dl[0]
+            return vals, defs, pa.field(node["name"], vals.type, nullable=node["opt"])
+        built = [build(c) for c in node["children"]]
+        arrs = [b[0] for b in built]
+        fields = [b[2] for b in built]
+        ref_defs = built[0][1]
+        mask = None
+        if node["opt_count"] > 0:
+            defined = ref_defs >= node["opt_count"]
+            if not bool(defined.all()):
+                mask = pa.array(~defined)
+        sa = pa.StructArray.from_arrays(arrs, fields=fields, mask=mask)
+        return sa, ref_defs, pa.field(node["name"], sa.type, nullable=node["opt"])
+
+    arr, _, _ = build(info)
+    return arr
 
 
 # ===================================================== distributed export

@@ -93,19 +93,17 @@ def test_struct_file_opens_in_pyarrow_duckdb_and_self(tmp_path, person_table):
 
 def test_struct_projection_and_required_fields(tmp_path):
     n = 40
+    x_field = pa.field("x", pa.int32(), nullable=False)
     inner = pa.StructArray.from_arrays(
-        [pa.array(np.arange(n, dtype=np.int32))], names=["x"]
+        [pa.array(np.arange(n, dtype=np.int32))], fields=[x_field]
     )
-    t = pa.table({
-        "k": pa.array([f"k{i}" for i in range(n)], pa.string()),
-        "s": inner,
-    })
-    # make s and s.x REQUIRED in the schema
     schema = pa.schema([
         pa.field("k", pa.string(), nullable=False),
-        pa.field("s", pa.struct([pa.field("x", pa.int32(), nullable=False)]), nullable=False),
+        pa.field("s", pa.struct([x_field]), nullable=False),
     ])
-    t = t.cast(schema)
+    t = pa.Table.from_arrays(
+        [pa.array([f"k{i}" for i in range(n)], pa.string()), inner], schema=schema
+    )
     p = str(tmp_path / "req.parquet")
     praw.write_file(p, t, page_rows=16)
     assert pq.read_table(p).equals(t)
@@ -117,10 +115,14 @@ def test_struct_projection_and_required_fields(tmp_path):
 def test_struct_required_with_nulls_fails_loudly(tmp_path):
     n = 10
     inner = pa.StructArray.from_arrays(
-        [pa.array([None if i == 3 else i for i in range(n)], pa.int32())], names=["x"]
+        [pa.array(list(range(n)), pa.int32())],
+        names=["x"],
+        mask=pa.array([i == 3 for i in range(n)]),  # null structs
     )
-    t = pa.table({"s": inner}).cast(
-        pa.schema([pa.field("s", pa.struct([pa.field("x", pa.int32(), nullable=False)]), nullable=False)])
+    # struct declared NON-nullable in the schema, but data has null structs
+    t = pa.Table.from_arrays(
+        [inner],
+        schema=pa.schema([pa.field("s", inner.type, nullable=False)]),
     )
     with pytest.raises(ValueError, match="non-nullable"):
         praw.write_file(str(tmp_path / "bad.parquet"), t)
@@ -149,6 +151,24 @@ def test_multi_row_group_write(tmp_path, person_table):
     got_dd = duckdb.query(f"SELECT * FROM read_parquet('{p}')").arrow()
     assert _normalize(got_dd.cast(person_table.schema), person_table).equals(want)
     assert _normalize(praw.read_file(p).cast(person_table.schema), person_table).equals(want)
+
+
+def test_parquet_meta_cli_reports_row_groups_and_struct_leaves(tmp_path, person_table, capsys):
+    """The page-header-walk CLI must surface every row group and the
+    dotted struct leaf paths."""
+    import json
+
+    from parquet_spark import tools
+
+    p = str(tmp_path / "rg_cli.parquet")
+    praw.write_file(p, person_table, page_rows=64, row_group_rows=64)
+    tools.cmd_parquet_meta(p)
+    lines = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(lines[0])
+    assert head["n_row_groups"] == 4
+    chunks = [json.loads(line) for line in lines[1:]]
+    assert {c["row_group"] for c in chunks} == {0, 1, 2, 3}
+    assert any(c["column"] == "hobby.skill.name" for c in chunks)
 
 
 def test_multi_row_group_flat_and_list(tmp_path):
