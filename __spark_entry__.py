@@ -262,6 +262,33 @@ def _q_interop_parquet_list(spark, sf_dir):
     ).withColumn("idx", F.col("idx").cast("int"))
 
 
+def _q_roundtrip_bloom_pruned(spark, sf_dir):
+    """Bloom-filter block pruning on string equality (stats/bloom.py):
+    min/max can't prune '=' probes on a high-cardinality unsorted key
+    (every block's range spans the probe), so opt-in per-block membership
+    filters skip the non-matching blocks; Parquet specifies bloom filters
+    for exactly this, the reference writes none. The result must equal
+    decode-then-filter (the SQL oracle) — pruning is never correctness."""
+    import hashlib
+    import tempfile
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.concat(F.lit("d"), F.md5(F.col("doc_id").cast("string"))).alias("key"),
+    )
+    path = tempfile.mkdtemp(prefix="psq-bloom-") + "/t"
+    write_encoded(
+        df, path, target_partitions=4, block_rows=64, resume=False,
+        source_col="source", salt_key="doc_id", weight_col="n_chars",
+        bloom_cols=["key"],
+    )
+    probe = "d" + hashlib.md5(b"42").hexdigest()
+    return read_encoded(spark, path, where=("key", "=", probe))
+
+
 def _q_interop_parquet_struct(spark, sf_dir):
     """Interop of NESTED STRUCT columns (reference cmd/parquetgen/parse/
     parse.go:108-114 — structs flatten to dotted-path leaves like
@@ -329,7 +356,7 @@ def _q_stats_run_length(spark, sf_dir):
 
     df = _t(spark, sf_dir, "lineitem")
     return run_length_stats(
-        df, "l_returnflag", ["l_orderkey", "l_linenumber"],
+        df, "l_returnflag", ["l_orderkey", "l_linenumber", "l_returnflag"],
         partition_col="pmod(l_orderkey, 16)",
     )
 
@@ -492,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_uint64_extremes": _q_roundtrip_uint64_extremes,
         "roundtrip_pruned_read": _q_roundtrip_pruned_read,
+        "roundtrip_bloom_pruned": _q_roundtrip_bloom_pruned,
         "interop_parquet_write": _q_interop_parquet_write,
         "interop_parquet_read": _q_interop_parquet_read,
         "interop_parquet_list": _q_interop_parquet_list,
@@ -558,6 +586,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice > 150000.0"
         ),
+        "roundtrip_bloom_pruned": (
+            "SELECT doc_id, source, n_chars, 'd' || md5(CAST(doc_id AS VARCHAR)) AS key "
+            "FROM documents WHERE 'd' || md5(CAST(doc_id AS VARCHAR)) = 'd' || md5('42')"
+        ),
         "interop_parquet_write": _INTEROP_SQL,
         "interop_parquet_read": _INTEROP_SQL,
         "interop_parquet_list": (
@@ -597,14 +629,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stats_run_length": (
             # partitioned window, mirroring the Spark side: runs counted
-            # independently per l_orderkey%16 partition (first row of each
-            # partition starts a run), summed — deterministic because
-            # (l_orderkey, l_linenumber) totally orders each partition
+            # independently per l_orderkey%16 partition (row_number()=1
+            # starts a run; IS DISTINCT FROM is the null-safe comparison —
+            # NULL is a value and a stretch of NULLs is one run), summed;
+            # deterministic because (l_orderkey, l_linenumber) totally
+            # orders each partition
             "WITH runs AS (SELECT "
-            "CASE WHEN lag(l_returnflag) OVER (PARTITION BY l_orderkey % 16 "
-            "ORDER BY l_orderkey, l_linenumber) IS NULL THEN 1 "
-            "WHEN l_returnflag <> lag(l_returnflag) OVER (PARTITION BY l_orderkey % 16 "
-            "ORDER BY l_orderkey, l_linenumber) THEN 1 "
+            "CASE WHEN row_number() OVER (PARTITION BY l_orderkey % 16 "
+            "ORDER BY l_orderkey, l_linenumber, l_returnflag) = 1 THEN 1 "
+            "WHEN l_returnflag IS DISTINCT FROM lag(l_returnflag) OVER "
+            "(PARTITION BY l_orderkey % 16 ORDER BY l_orderkey, l_linenumber, l_returnflag) THEN 1 "
             "ELSE 0 END AS chg FROM lineitem) "
             "SELECT count(*) AS n_values, CAST(sum(chg) AS BIGINT) AS n_runs FROM runs"
         ),

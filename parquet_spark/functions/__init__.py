@@ -51,8 +51,11 @@ def run_length_stats(
         w = Window.partitionBy(F.expr(partition_col)).orderBy(*[F.col(c) for c in order_cols])
     else:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
-    changed = (F.col(col) != F.lag(col, 1).over(w)).cast("long")
-    runs = df.select(F.coalesce(changed, F.lit(1)).alias("chg"))
+    # null-safe run semantics: NULL is a value, a stretch of NULLs is one
+    # run. `lag IS NULL` can't mark run starts (the previous VALUE may be
+    # NULL) — row_number()==1 marks them, eqNullSafe compares the rest.
+    changed = (F.row_number().over(w) == 1) | ~F.col(col).eqNullSafe(F.lag(col, 1).over(w))
+    runs = df.select(changed.cast("long").alias("chg"))
     return runs.agg(
         F.count("*").alias("n_values"),
         F.sum("chg").alias("n_runs"),

@@ -79,6 +79,30 @@ def decode_table(
 _PRUNE_OPS = {">", ">=", "<", "<=", "=", "==", "!=", "in"}
 
 
+def _bloom_keep_udf(probes: list[bytes]):
+    """Arrow-batched keep-predicate over the blocks relation's
+    `_bloom_<col>` column: keep a block iff ANY probe may be contained.
+    Runs at METADATA scale (one row per block, after the min/max scan
+    pruning), so a Python kernel here is fine; a missing/null filter
+    keeps the block — pruning is an optimization, never correctness."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def keep(filt):
+        from parquet_spark.stats import bloom as bl
+
+        return filt.map(
+            lambda f: True if f is None
+            else any(bl.maybe_contains(bytes(f), p) for p in probes)
+        )
+
+    # real type objects, not strings: this module's `from __future__ import
+    # annotations` would otherwise defeat pandas_udf's hint inference
+    keep.__annotations__ = {"filt": pd.Series, "return": pd.Series}
+    return pandas_udf(keep, "boolean")
+
+
 def _block_keep_condition(col: str, op: str, value):
     """Can a block with [vmin, vmax] contain a row satisfying (col op value)?
     Blocks without stats (null vmin) are always kept — pruning is an
@@ -174,6 +198,13 @@ def read_encoded(
                 cols.append(col)
             if f"_min_{col}" in blocks_df.columns:
                 blocks_df = blocks_df.where(_block_keep_condition(col, op, _value))
+            if op in ("=", "==", "in") and f"_bloom_{col}" in blocks_df.columns:
+                probes = list(_value) if op == "in" else [_value]
+                pb = [p.encode() if isinstance(p, str) else p for p in probes]
+                if probes and all(isinstance(p, bytes) for p in pb):
+                    blocks_df = blocks_df.where(
+                        _bloom_keep_udf(pb)(F.col(f"_bloom_{col}"))
+                    )
         decoded = decode_table(blocks_df, schema, cols, verify=verify)
         # typed Column comparison, not SQL text: dates/timestamps/strings
         # with quotes all become proper literals instead of repr() fragments

@@ -90,9 +90,10 @@ _MANIFEST_PA_SCHEMA = pa.schema([
 ])
 
 
-def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool, stats_cols: list[str] | None = None, manifest_dir: str | None = None):
+def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None, compression: str | None, has_bucket: bool, stats_cols: list[str] | None = None, manifest_dir: str | None = None, bloom_cols: list[str] | None = None):
     codec_overrides = codec_overrides or {}
     stats_cols = stats_cols or []
+    bloom_cols = bloom_cols or []
 
     def fn(batches):
         import pyarrow.compute as pc
@@ -112,6 +113,7 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
             bucket = _block_bucket(tbl) if has_bucket and n else -1
             payloads = []
             stat_arrays = []
+            bloom_arrays = []
             metas = {}
             for col in columns:
                 arr = tbl.column(col).combine_chunks()
@@ -150,6 +152,15 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                     stat_arrays.append(pa.array([vmax], arr.type))
                     meta["vmin"] = None if vmin is None else str(vmin)
                     meta["vmax"] = None if vmax is None else str(vmax)
+                if col in bloom_cols:
+                    # per-block membership filter for equality pruning
+                    # (stats/bloom.py — min/max can't prune '=' probes on
+                    # high-cardinality unsorted strings)
+                    from parquet_spark.stats import bloom as _bloom
+
+                    dense = arr.drop_null() if arr.null_count else arr
+                    vals = [v if isinstance(v, bytes) else v.encode() for v in dense.to_pylist()]
+                    bloom_arrays.append(pa.array([_bloom.build(vals)], pa.binary()))
                 metas[col] = meta
                 if manifest_dir is not None:
                     manifest_rows.append((
@@ -168,11 +179,14 @@ def _encode_fn(columns: list[str], block_rows: int, codec_overrides: dict | None
                 ]
                 + [pa.array([p], pa.binary()) for p in payloads]
                 + stat_arrays
+                + bloom_arrays
             )
             stat_names = [x for c in columns if c in stats_cols for x in (f"_min_{c}", f"_max_{c}")]
+            bloom_names = [f"_bloom_{c}" for c in columns if c in bloom_cols]
             block_id += 1
             return pa.RecordBatch.from_arrays(
-                arrays, names=["part_id", "block_id", "bucket", "n_rows", "meta"] + columns + stat_names
+                arrays,
+                names=["part_id", "block_id", "bucket", "n_rows", "meta"] + columns + stat_names + bloom_names,
             )
 
         pending: list[pa.RecordBatch] = []
@@ -235,6 +249,7 @@ def encode_table(
     codecs: dict | None = None,
     compression: str | None = None,
     manifest_dir: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """DataFrame → blocks DataFrame (one row per block, one binary payload
     column per encoded input column). Purely declarative — the encode runs
@@ -242,18 +257,30 @@ def encode_table(
 
     `manifest_dir`: when set, each task also writes its manifest rows as a
     side-band parquet part file there while the blocks are being produced
-    (one pass; see write_encoded). Local/POSIX path semantics."""
+    (one pass; see write_encoded); any tablefs-supported storage.
+    `bloom_cols`: string/binary columns that additionally get a per-block
+    Bloom filter (`_bloom_<col>`) for equality pruning (stats/bloom.py)."""
     has_bucket = BUCKET_COL in df.columns
     columns = columns or [c for c in df.columns if c != BUCKET_COL]
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     stats_cols = [c for c in columns if type_of.get(c) in _STATS_SPARK_TYPES]
+    bloom_cols = list(bloom_cols or [])
+    for c in bloom_cols:
+        if c not in columns:
+            raise KeyError(f"bloom_cols column {c!r} not in encoded columns")
+        if type_of.get(c) not in ("string", "binary"):
+            raise TypeError(
+                f"bloom_cols column {c!r} must be string/binary (membership "
+                f"filters hash byte values), got {type_of.get(c)}"
+            )
     out_ddl = (
         "part_id int, block_id long, bucket int, n_rows int, meta string, "
         + ", ".join(f"`{c}` binary" for c in columns)
         + "".join(f", `_min_{c}` {type_of[c]}, `_max_{c}` {type_of[c]}" for c in stats_cols)
+        + "".join(f", `_bloom_{c}` binary" for c in columns if c in bloom_cols)
     )
     return df.mapInArrow(
-        _encode_fn(columns, block_rows, codecs, compression, has_bucket, stats_cols, manifest_dir),
+        _encode_fn(columns, block_rows, codecs, compression, has_bucket, stats_cols, manifest_dir, bloom_cols),
         out_ddl,
     )
 
@@ -563,6 +590,7 @@ def write_encoded(
     balance_threshold: float = 2.0,
     data_dirname: str = "data",
     manifest_dirname: str = "manifest",
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Full encode pipeline: partitioning → encode → data + manifest +
     snapshot. Resumable: re-running after a partial failure anti-joins the
@@ -706,7 +734,7 @@ def write_encoded(
         tablefs.mkdirs(pending)
         blocks = encode_table(
             salted, columns=columns, block_rows=block_rows, codecs=codecs,
-            compression=compression, manifest_dir=pending,
+            compression=compression, manifest_dir=pending, bloom_cols=bloom_cols,
         )
         # 32 MB parquet row groups (default 128 MB): block rows carry
         # multi-MB binary payload cells, and N concurrent tasks each
@@ -737,6 +765,7 @@ def write_encoded(
             "target_partitions": target_partitions,
             "partition_plan": _partition_plan_conf(spark),
             "data_dir": data_dirname, "manifest_dir": manifest_dirname,
+            "bloom_cols": list(bloom_cols or []),
         },
     )
     return {"fingerprint": fp, "buckets_total": n_buckets, "buckets_skipped": skipped, "path": path}
