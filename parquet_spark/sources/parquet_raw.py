@@ -928,10 +928,13 @@ def _assemble_struct_column(info: dict, arrays: dict, defs_acc: dict) -> pa.Arra
 # ===================================================== distributed export
 
 
-def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int = 65536):
+def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int = 65536,
+                   row_group_rows: int | None = None):
     """Distributed standards-Parquet export: each partition writes one
     part-N.parquet via the raw writer inside a mapInArrow task (no driver
     collect — the scale path for 'hand this table to any Parquet reader').
+    `row_group_rows` rolls row groups within each part file so foreign
+    readers get skipping/parallelism granularity inside large parts.
     Returns the per-part summary DataFrame (path, rows, bytes); consuming
     it is what triggers the export."""
     import os
@@ -950,7 +953,8 @@ def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int
             return
         table = _pa.concat_tables(tbls)
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        write_file(path, table, compression=compression, page_rows=page_rows)
+        write_file(path, table, compression=compression, page_rows=page_rows,
+                   row_group_rows=row_group_rows)
         from parquet_spark import tablefs
 
         _fs, _p, _ = tablefs.resolve(path)
