@@ -413,6 +413,60 @@ def _q_text_sample_by_hash(spark, sf_dir):
     return textops.sample_by_hash(_t(spark, sf_dir, "documents"), rate=0.25)
 
 
+# planted-PII construction shared by the Spark query and the SQL oracle:
+# every 7th document gains an email, a phone number, and an IPv4 — known
+# positives so the scrub is certified on matches, not just on absence
+_PII_PLANT_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com or +1 555 123 4567 at 192.168.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) ELSE text END AS text FROM documents"
+)
+
+
+def _q_text_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails / IPv4 / phone numbers → typed
+    placeholders + audit counts) over documents with deterministically
+    planted PII; the oracle replicates the plant and the rule chain, so
+    the scrubbed text itself is hash-checked."""
+    from parquet_spark.pipeline import textops
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 123 4567 at 192.168.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return textops.pii_scrub(df)
+
+
+_LINES_PLANT_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'repeat' "
+    "|| chr(10) || 'repeat' || chr(10) || 'repeat' || chr(10) || 'tail' "
+    "ELSE text || chr(10) || 'uniq' END AS text FROM documents"
+)
+
+
+def _q_text_strip_repeated_lines(spark, sf_dir):
+    """Intra-document repetition cleanup (consecutive duplicate lines
+    collapsed) with planted duplicate runs; oracle = window-function
+    replica, scrubbed text hash-checked."""
+    from parquet_spark.pipeline import textops
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\nrepeat\nrepeat\nrepeat\ntail")),
+        ).otherwise(F.concat(F.col("text"), F.lit("\nuniq"))).alias("text"),
+    )
+    return textops.strip_repeated_lines(df)
+
+
 def _q_corpus_ngram_counts(spark, sf_dir):
     """Top-k word-trigram frequency over the corpus (vocabulary audit /
     contamination-index building block) — one explode + one map-side-
@@ -535,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "text_quality_filter": _q_text_quality_filter,
         "text_sample_by_hash": _q_text_sample_by_hash,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_strip_repeated_lines": _q_text_strip_repeated_lines,
         "corpus_ngram_counts": _q_corpus_ngram_counts,
         "corpus_contamination": _q_corpus_contamination,
         "corpus_boilerplate_segments": _q_corpus_boilerplate_segments,
@@ -666,6 +722,10 @@ def _pipeline_oracles() -> dict[str, str]:
         "text_fingerprints": textops.fingerprints_oracle(),
         "text_quality_filter": textops.quality_filter_oracle(min_score=0.5),
         "text_sample_by_hash": textops.sample_by_hash_oracle(rate=0.25),
+        "text_pii_scrub": textops.pii_scrub_oracle(table=f"({_PII_PLANT_SQL}) p"),
+        "text_strip_repeated_lines": textops.strip_repeated_lines_oracle(
+            table=f"({_LINES_PLANT_SQL}) p"
+        ),
         "corpus_ngram_counts": corpus.ngram_counts_oracle("documents", n=3, top_k=200),
         "corpus_contamination": corpus.contamination_oracle("documents", "doc_id % 10 = 0", n=5),
         "corpus_boilerplate_segments": corpus.boilerplate_segments_oracle(

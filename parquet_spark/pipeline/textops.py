@@ -215,3 +215,74 @@ def sample_by_hash_oracle(
         f"SELECT {id_col}, {bucket} AS hash_bucket "
         f"FROM {table} WHERE {bucket} < {thr}"
     )
+
+
+# PII rules applied IN ORDER (each count is taken on the text after the
+# previous rule's replacement, so both engines see identical inputs).
+# Patterns are deliberately conservative and restricted to syntax Java
+# regex (Spark) and RE2 (DuckDB) interpret identically: ASCII classes,
+# bounded quantifiers, \b ASCII word boundaries — no backrefs, no
+# lookaround (RE2 has neither).
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction — the compliance pass every web-scale training
+    corpus runs before the tokenizer: emails, IPv4 addresses, and
+    international-format phone numbers replaced by typed placeholder
+    tokens, with per-category match counts for audit. Pure built-in
+    regexp expression tree (regexp_extract_all + regexp_replace): no
+    Python UDFs, no shuffle, whole-stage codegen — one scan at any
+    corpus size."""
+    counts = []
+    cur = F.col(text_col)
+    for name, pat, repl in PII_RULES:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+
+
+def pii_scrub_oracle(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    counts = []
+    cur = text_col
+    for name, pat, repl in PII_RULES:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"SELECT {id_col}, {cur} AS scrubbed, {', '.join(counts)} FROM {table}"
+
+
+def strip_repeated_lines(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition cleanup: collapse CONSECUTIVE duplicate
+    lines within each document (boilerplate nav bars, scraped pagination,
+    degenerate generation loops). Array expression tree — split once,
+    index-aware `filter` against the previous element, re-join — so the
+    work is per-row with no window, no shuffle, and no Python."""
+    with_lines = df.withColumn("__lines", F.split(F.col(text_col), "\n"))
+    kept = F.expr("filter(__lines, (x, i) -> i = 0 OR x != __lines[i-1])")
+    return with_lines.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("scrubbed"),
+        (F.size("__lines") - F.size(kept)).alias("n_removed"),
+    )
+
+
+def strip_repeated_lines_oracle(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Window-function replica: a line is kept iff it is the first of its
+    document or differs from its predecessor; rejoin in line order."""
+    return (
+        f"WITH l AS (SELECT {id_col}, "
+        f"unnest(string_split({text_col}, chr(10))) AS line, "
+        f"generate_subscripts(string_split({text_col}, chr(10)), 1) AS idx FROM {table}), "
+        f"k AS (SELECT {id_col}, line, idx, "
+        f"CASE WHEN idx = 1 THEN 1 "
+        f"WHEN line IS DISTINCT FROM lag(line) OVER (PARTITION BY {id_col} ORDER BY idx) THEN 1 "
+        f"ELSE 0 END AS keep FROM l) "
+        f"SELECT {id_col}, "
+        f"string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep = 1) AS scrubbed, "
+        f"CAST(count(*) - sum(keep) AS BIGINT) AS n_removed "
+        f"FROM k GROUP BY {id_col}"
+    )

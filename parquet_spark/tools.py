@@ -7,6 +7,7 @@ Usage:
     python -m parquet_spark.tools snapshot     <table_path>
     python -m parquet_spark.tools metadata     <table_path>
     python -m parquet_spark.tools blocks       <table_path> [column]
+    python -m parquet_spark.tools verify       <table_path>
     python -m parquet_spark.tools parquet-meta <file.parquet>
 
 All output is JSON lines (machine-readable, like the reference CLI's JSON
@@ -80,6 +81,25 @@ def cmd_blocks(path: str, column: str | None = None) -> None:
         print(json.dumps(r.asDict()))
 
 
+def cmd_verify(path: str) -> None:
+    """Integrity sweep: decode EVERY payload block with its crc32 gate on
+    (operators/decode.py) — corruption raises loudly; success prints the
+    row count and per-column block totals. The distributed analogue of a
+    reader-side footer+page checksum walk."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_encoded, read_manifest
+
+    spark = _spark()
+    n = read_encoded(spark, path, verify=True).count()
+    man = read_manifest(spark, path)
+    per_col = {
+        r["column"]: int(r["n"])
+        for r in man.groupBy("column").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"path": path, "rows": int(n), "crc": "ok", "blocks_per_column": per_col}))
+
+
 def cmd_parquet_meta(path: str) -> None:
     """Footer summary of any standards Parquet file, via the raw parser."""
     from parquet_spark.sources import parquet_raw as praw
@@ -119,7 +139,7 @@ def cmd_parquet_meta(path: str) -> None:
 
 
 def main(argv: list[str]) -> None:
-    if len(argv) < 2 or argv[0] not in ("snapshot", "metadata", "blocks", "parquet-meta"):
+    if len(argv) < 2 or argv[0] not in ("snapshot", "metadata", "blocks", "verify", "parquet-meta"):
         print(__doc__)
         raise SystemExit(2)
     cmd, path = argv[0], argv[1]
@@ -127,6 +147,8 @@ def main(argv: list[str]) -> None:
         cmd_snapshot(path)
     elif cmd == "metadata":
         cmd_metadata(path)
+    elif cmd == "verify":
+        cmd_verify(path)
     elif cmd == "parquet-meta":
         cmd_parquet_meta(path)
     else:

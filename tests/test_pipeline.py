@@ -423,3 +423,58 @@ def test_media_features_all_empty_payloads(spark):
     assert list(got["first_byte"]) == [-1] * 5
     assert list(got["last_byte"]) == [-1] * 5
     assert list(got["byte_sum"]) == [0] * 5
+
+
+def test_pii_scrub_categories_and_counts(spark):
+    """Known positives for every PII category; counts and replacement
+    tokens exact; clean text untouched."""
+    from parquet_spark.pipeline.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@corp-mail.example.org today"),
+            (2, "server 10.0.255.7 and backup 192.168.1.1 are up"),
+            (3, "call +44 20 7946 0958 now"),
+            (4, "totally clean text with no identifiers"),
+            (5, "a@b.io mails 127.0.0.1 from +1 800 555 0100"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["scrubbed"] == "reach me at <EMAIL> today"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[2]["scrubbed"] == "server <IP> and backup <IP> are up"
+    assert got[2]["n_ip"] == 2
+    assert got[3]["scrubbed"] == "call <PHONE> now"
+    assert got[3]["n_phone"] == 1
+    assert got[4]["scrubbed"] == "totally clean text with no identifiers"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[5]["scrubbed"] == "<EMAIL> mails <IP> from <PHONE>"
+
+
+def test_strip_repeated_lines_consecutive_only(spark):
+    """Only CONSECUTIVE duplicates collapse; non-adjacent repeats stay
+    (they are legitimate content, e.g. a refrain)."""
+    from parquet_spark.pipeline.textops import strip_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\na\na\nb\na"),
+            (2, "x\ny\nz"),
+            (3, "only"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_repeated_lines(df).collect()}
+    assert got[1]["scrubbed"] == "a\nb\na" and got[1]["n_removed"] == 2
+    assert got[2]["scrubbed"] == "x\ny\nz" and got[2]["n_removed"] == 0
+    assert got[3]["scrubbed"] == "only" and got[3]["n_removed"] == 0
+
+
+def test_pii_scrub_plan_stays_in_codegen(spark):
+    """The scrub must be a pure expression tree — no Python eval nodes."""
+    from parquet_spark.pipeline.textops import pii_scrub
+
+    df = spark.createDataFrame([(1, "t")], "doc_id int, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -102,3 +102,86 @@ def test_forced_codec_roundtrip(data):
     arr = pa.array(vals, pa.int64())
     out = blk.decode_array(blk.encode_array(arr, codec=codec))
     assert out.equals(arr)
+
+
+# ---------------------------------------------------------------- structs
+# Randomized nested-struct schemas through the raw standards-Parquet
+# writer/reader (the same generative stance as the reference's randomized
+# Person sets, applied to the round-4 struct path): any (nesting, nulls,
+# page split, row-group split) combination must round-trip element-exact
+# and open identically in pyarrow.
+
+import os
+import tempfile
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from parquet_spark.sources import parquet_raw as praw
+
+_LEAF_TYPES = [pa.int32(), pa.int64(), pa.float64(), pa.string(), pa.bool_()]
+
+
+def _leaf_values(draw, typ, n):
+    if typ == pa.string():
+        elems = st.one_of(st.none(), st.text(max_size=8))
+    elif typ == pa.bool_():
+        elems = st.one_of(st.none(), st.booleans())
+    elif typ == pa.float64():
+        elems = st.one_of(st.none(), st.floats(allow_nan=False, width=64))
+    else:
+        bits = typ.bit_width
+        elems = st.one_of(st.none(), st.integers(-(2 ** (bits - 1)), 2 ** (bits - 1) - 1))
+    return pa.array(draw(st.lists(elems, min_size=n, max_size=n)), typ)
+
+
+def _struct_array(draw, n, depth):
+    k = draw(st.integers(1, 3))
+    children, fields = [], []
+    for i in range(k):
+        if depth < 2 and draw(st.booleans()):
+            arr = _struct_array(draw, n, depth + 1)
+        else:
+            typ = draw(st.sampled_from(_LEAF_TYPES))
+            arr = _leaf_values(draw, typ, n)
+        children.append(arr)
+        fields.append(pa.field(f"f{depth}_{i}", arr.type))
+    mask = pa.array(draw(st.lists(st.booleans(), min_size=n, max_size=n)))
+    return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+
+
+@st.composite
+def struct_tables(draw):
+    n = draw(st.integers(1, 60))
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "s": _struct_array(draw, n, 0),
+    })
+
+
+def _canon(arr):
+    """Null out struct-child slots under null parents: Dremel has no
+    representation for values below a null ancestor, so equality is
+    defined on this canonical form."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_struct(arr.type):
+        parent_null = pc.is_null(arr)
+        kids = [
+            pc.if_else(parent_null, pa.nulls(len(arr), _canon(arr.field(i)).type), _canon(arr.field(i)))
+            for i in range(arr.type.num_fields)
+        ]
+        return pa.StructArray.from_arrays(kids, fields=list(arr.type), mask=parent_null)
+    return arr
+
+
+@given(struct_tables(), st.sampled_from([7, 16, 64]), st.sampled_from([None, 13, 40]))
+@settings(max_examples=25, deadline=None)
+def test_struct_roundtrip_fuzz(tbl, page_rows, row_group_rows):
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        praw.write_file(p, tbl, page_rows=page_rows, row_group_rows=row_group_rows)
+        want = pa.table({c: _canon(tbl.column(c)) for c in tbl.column_names})
+        got_pa = pq.read_table(p)
+        assert pa.table({c: _canon(got_pa.column(c)) for c in tbl.column_names}).equals(want)
+        got_self = praw.read_file(p).cast(tbl.schema)
+        assert pa.table({c: _canon(got_self.column(c)) for c in tbl.column_names}).equals(want)

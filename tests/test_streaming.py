@@ -76,10 +76,13 @@ def test_stream_with_real_writestream(spark, workdir, tmp_path):
     try:
         import time
 
-        deadline = time.time() + 30
+        # poll, never processAllAvailable(): with a CONTINUOUS rate source
+        # "all available" is a moving target and that call can block
+        # unboundedly (observed: a 14-minute suite hang) — the 1s trigger
+        # delivers batches on its own and the deadline stays enforceable
+        deadline = time.time() + 60
         while time.time() < deadline and not enc._snapshot_written:
             time.sleep(0.5)
-            q.processAllAvailable()
     finally:
         q.stop()
     assert enc._snapshot_written, "stream never delivered a non-empty batch"

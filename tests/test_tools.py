@@ -69,3 +69,38 @@ def test_parquet_meta_dump(tmp_path, capsys):
         assert expect_creator in lines[0]["created_by"]
         assert lines[0]["schema"][0] == {"name": "x", "type": "INT64", "repetition": "OPTIONAL"}
         assert lines[1]["num_values"] == 10
+
+
+def test_verify_cli_clean_and_corrupt(spark, tmp_path, capsys):
+    """`verify` decodes every payload with the crc gate: clean table →
+    JSON summary; a flipped payload byte → loud failure."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+    from parquet_spark.tools import cmd_verify
+
+    path = str(tmp_path / "vt")
+    write_encoded(sequences_df(spark, 1500, seed=8, n_partitions=2), path, target_partitions=2, resume=False)
+    cmd_verify(path)
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == 1500 and out["crc"] == "ok"
+    assert set(out["blocks_per_column"]) == {"doc_id", "tokens", "n_tok", "source"}
+
+    # corrupt one payload cell (rewrite a data file with a flipped byte);
+    # drop Hadoop's .crc sidecars so the ENGINE's per-block crc gate —
+    # not the filesystem — is what detects it
+    f = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))[0]
+    t = pq.read_table(f)
+    col = t.column("tokens").to_pylist()
+    col[0] = bytes([col[0][0] ^ 0xFF]) + bytes(col[0][1:])
+    t = t.set_column(t.schema.get_field_index("tokens"), "tokens", pa.array(col, pa.binary()))
+    pq.write_table(t, f)
+    for sidecar in glob.glob(os.path.join(path, "data", ".*.crc")):
+        os.remove(sidecar)
+    with pytest.raises(Exception, match="checksum mismatch decoding column"):
+        cmd_verify(path)
