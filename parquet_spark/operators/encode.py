@@ -794,7 +794,13 @@ def append_encoded(
     from parquet_spark import tablefs
     from parquet_spark.streaming.encode_stream import StreamingEncoder
 
-    data_dir = os.path.join(path, "data")
+    # resolve the LIVE generation dirs through the snapshot: a compacted
+    # table's data lives under data-<gen>, and appending into a literal
+    # "data/" there would be invisible to every reader
+    snap = read_snapshot(path) or {}
+    data_dirname = snap.get("data_dir", "data")
+    manifest_dirname = snap.get("manifest_dir", "manifest")
+    data_dir = os.path.join(path, data_dirname)
     next_id = 0
     if tablefs.is_dir(data_dir):
         entries = tablefs.listdir(data_dir)
@@ -809,6 +815,7 @@ def append_encoded(
     enc = StreamingEncoder(
         path, target_partitions=target_partitions, block_rows=block_rows,
         codecs=codecs, source_col=source_col, salt_key=salt_key, weight_col=weight_col,
+        data_dirname=data_dirname, manifest_dirname=manifest_dirname,
     )
     enc._snapshot_written = tablefs.exists(_snapshot_path(path))
     enc(df, next_id)

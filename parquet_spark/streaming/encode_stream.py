@@ -56,10 +56,16 @@ class StreamingEncoder:
         weight_col: str | None = "n_tok",
         plan_refresh_batches: int = 10,
         bucket_mode: str = "salted",
+        data_dirname: str = "data",
+        manifest_dirname: str = "manifest",
     ) -> None:
         if bucket_mode not in ("salted", "partition"):
             raise ValueError(f"bucket_mode {bucket_mode!r} not in ('salted', 'partition')")
         self.path = path
+        # generation dirs: a compacted table's live data/manifest dirs are
+        # snapshot-named (data-<gen>); append_encoded threads them through
+        self.data_dirname = data_dirname
+        self.manifest_dirname = manifest_dirname
         self.target_partitions = target_partitions
         self.block_rows = block_rows
         self.codecs = codecs
@@ -100,14 +106,14 @@ class StreamingEncoder:
             salted, columns=columns, block_rows=self.block_rows, codecs=self.codecs
         )
         # idempotent per-batch dirs: a checkpoint replay overwrites, never dups
-        data_dir = os.path.join(self.path, "data", f"batch={batch_id}")
+        data_dir = os.path.join(self.path, self.data_dirname, f"batch={batch_id}")
         blocks.write.mode("overwrite").parquet(data_dir)
         spark = batch_df.sparkSession
         data_df = spark.read.parquet(data_dir)
         manifest_from_blocks(
             data_df.select("bucket", "part_id", "block_id", "meta")
         ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
-            os.path.join(self.path, "manifest", f"batch={batch_id}")
+            os.path.join(self.path, self.manifest_dirname, f"batch={batch_id}")
         )
         if not self._snapshot_written:
             write_snapshot(
@@ -115,7 +121,10 @@ class StreamingEncoder:
                 batch_df.schema.json(),
                 columns,
                 f"stream-{os.path.basename(self.path)}",
-                {"streaming": True, "block_rows": self.block_rows},
+                {
+                    "streaming": True, "block_rows": self.block_rows,
+                    "data_dir": self.data_dirname, "manifest_dir": self.manifest_dirname,
+                },
             )
             self._snapshot_written = True
 

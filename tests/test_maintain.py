@@ -135,6 +135,35 @@ def test_resume_targets_live_generation_after_compaction(spark, tmp_path):
     assert read_encoded(spark, path).select("doc_id").distinct().count() == 2000
 
 
+def test_append_after_compaction_targets_live_generation(spark, tmp_path):
+    """After compaction the live data dir is generation-named; an append
+    must resolve it through the snapshot — writing into a literal 'data/'
+    would be invisible to every reader. A compacted (now flat) table
+    refuses the append LOUDLY instead of silently losing rows."""
+    import pytest
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded, read_snapshot
+    from parquet_spark.operators.maintain import compact_table
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "batch_gen")
+    append_encoded(sequences_df(spark, 300, seed=41, n_partitions=2), path, target_partitions=4)
+    append_encoded(sequences_df(spark, 200, seed=42, n_partitions=2), path, target_partitions=4)
+    assert read_encoded(spark, path).count() == 500
+    rep = compact_table(spark, path, block_rows=1024, target_partitions=2)
+    assert rep["compacted"]
+    assert read_snapshot(path)["data_dir"].startswith("data-")
+    assert read_encoded(spark, path).count() == 500
+    with pytest.raises(ValueError, match="flat"):
+        append_encoded(sequences_df(spark, 50, seed=43, n_partitions=1), path)
+    # nothing leaked into a stale literal 'data/' dir
+    import os
+
+    assert not os.path.exists(os.path.join(path, "data"))
+    assert read_encoded(spark, path).count() == 500
+
+
 def test_recover_table_after_interrupted_swap(spark, tmp_path):
     """Simulate a crash between compact_table's two renames: the table is
     parked at <path>.old; read_encoded must recover it transparently."""
