@@ -467,6 +467,16 @@ def _q_text_strip_repeated_lines(spark, sf_dir):
     return textops.strip_repeated_lines(df)
 
 
+def _q_events_session_stats(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-minute
+    inactivity gap): one hash shuffle on user_id, per-user running window,
+    order-independent session aggregates — the classic behavioral-log
+    primitive, oracle-exact against the same window SQL."""
+    from parquet_spark.pipeline.events import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def _q_corpus_ngram_counts(spark, sf_dir):
     """Top-k word-trigram frequency over the corpus (vocabulary audit /
     contamination-index building block) — one explode + one map-side-
@@ -591,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_by_hash": _q_text_sample_by_hash,
         "text_pii_scrub": _q_text_pii_scrub,
         "text_strip_repeated_lines": _q_text_strip_repeated_lines,
+        "events_session_stats": _q_events_session_stats,
         "corpus_ngram_counts": _q_corpus_ngram_counts,
         "corpus_contamination": _q_corpus_contamination,
         "corpus_boilerplate_segments": _q_corpus_boilerplate_segments,
@@ -713,9 +724,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _pipeline_oracles() -> dict[str, str]:
-    from parquet_spark.pipeline import corpus, dedup, multimodal, similarity, textops
+    from parquet_spark.pipeline import corpus, dedup, events, multimodal, similarity, textops
 
     return {
+        "events_session_stats": events.session_stats_oracle(gap_minutes=30),
         "text_token_counts": textops.token_counts_oracle(),
         "text_quality_scores": textops.quality_scores_oracle(),
         "text_language_id": textops.language_id_oracle(),

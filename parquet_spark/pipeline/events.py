@@ -1,0 +1,87 @@
+"""Event-stream operators: gap-based sessionization.
+
+The classic behavioral-data primitive (and a standard building block for
+interaction-log training corpora): group each user's events into sessions
+separated by inactivity gaps. Spark-first shape: ONE hash shuffle on the
+user key, then per-user windows — no iteration, no Python. Every output
+is order-independent (counts, min/max), so the DuckDB oracle is exact.
+
+Scale note: the window puts one user's events on one partition, which is
+the minimum data movement the semantics allow (session numbering is a
+running count over the user's timeline). Pathological hot keys (bot
+accounts with billions of events) should be pre-split upstream on
+(user, coarse time bucket) before sessionizing within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-event session assignment: a session starts at a user's first
+    event or after an inactivity gap strictly greater than `gap_minutes`.
+    Ordered by (ts, id) — a total order whenever ids are unique, so the
+    numbering is deterministic. Comparisons are in microseconds
+    (unix_micros / epoch_us) so both engines see identical arithmetic."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # unix_micros wants TIMESTAMP; sources often carry TIMESTAMP_NTZ —
+    # the cast is exact (same microsecond value under the session tz)
+    prev_us = F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+    cur_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    start = F.when(prev_us.isNull() | (cur_us - prev_us > gap_us), 1).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_num", F.sum(start).over(running))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session summary: events per session, first/last timestamps, max
+    value. All aggregates are order-independent (count/min/max — a float
+    SUM would make the result depend on reduction order and break
+    bit-exact cross-engine comparison)."""
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    return s.groupBy(user_col, "session_num").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def session_stats_oracle(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> str:
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    win = f"PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}"
+    return (
+        f"WITH e AS (SELECT {user_col}, {id_col}, {ts_col}, {value_col}, "
+        f"CASE WHEN lag({ts_col}) OVER ({win}) IS NULL "
+        f"OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER ({win})) > {gap_us} "
+        f"THEN 1 ELSE 0 END AS s FROM {table}), "
+        f"n AS (SELECT {user_col}, {ts_col}, {value_col}, "
+        f"sum(s) OVER ({win} ROWS UNBOUNDED PRECEDING) AS session_num FROM e) "
+        f"SELECT {user_col}, CAST(session_num AS BIGINT) AS session_num, "
+        f"CAST(count(*) AS BIGINT) AS n_events, "
+        f"min({ts_col}) AS t_start, max({ts_col}) AS t_end, "
+        f"max({value_col}) AS max_value "
+        f"FROM n GROUP BY {user_col}, session_num"
+    )

@@ -478,3 +478,31 @@ def test_pii_scrub_plan_stays_in_codegen(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id int, text string")
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_gap_semantics(spark):
+    """Sessions split on gaps STRICTLY greater than the threshold; exact
+    boundary stays in-session; numbering restarts per user."""
+    import datetime as dt
+
+    from parquet_spark.pipeline.events import session_stats, sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: two sessions (gap of 31 min between e2 and e3)
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + 5 * m, 9.0),
+        (3, 1, t0 + 36 * m, 2.0),
+        # user 2: exactly-30-min gap stays ONE session (strict >)
+        (4, 2, t0, 3.0),
+        (5, 2, t0 + 30 * m, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    per_event = {r["event_id"]: r["session_num"] for r in sessionize(df, gap_minutes=30).collect()}
+    assert per_event == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+    stats = {(r["user_id"], r["session_num"]): r for r in session_stats(df, gap_minutes=30).collect()}
+    assert stats[(1, 1)]["n_events"] == 2 and stats[(1, 1)]["max_value"] == 9.0
+    assert stats[(1, 2)]["n_events"] == 1
+    assert stats[(2, 1)]["n_events"] == 2
+    assert stats[(2, 1)]["t_end"] - stats[(2, 1)]["t_start"] == 30 * m
