@@ -331,6 +331,32 @@ def _q_interop_parquet_struct(spark, sf_dir):
     )
 
 
+def _q_interop_parquet_dict(spark, sf_dir):
+    """Dictionary-encoded standards-Parquet interop: the raw writer's
+    per-chunk codec auto-selection (sources/parquet_raw.py write_file,
+    use_dictionary='auto' — the engine's stats-driven codec choice applied
+    to the standards layout) emits dict pages + RLE_DICTIONARY index pages
+    for the low-cardinality lang/source chunks; DUCKDB (third-party)
+    re-reads the file and values must hash-match the source table. The
+    query asserts the dict encoding actually engaged — a silent PLAIN
+    fallback would pass value checks but fail the point."""
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/dict.parquet"
+    summ = parquet_raw.write_file(path, df.toArrow(), compression="snappy")
+    assert summ["lang"].get("dict") and summ["source"].get("dict"), summ
+    encs = pq.ParquetFile(path).metadata.row_group(0).column(1).encodings
+    assert "RLE_DICTIONARY" in encs, encs
+    back = duckdb.query(f"SELECT * FROM read_parquet('{path}')").arrow()
+    return spark.createDataFrame(back.to_pandas(), schema=df.schema)
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -588,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_read": _q_interop_parquet_read,
         "interop_parquet_list": _q_interop_parquet_list,
         "interop_parquet_struct": _q_interop_parquet_struct,
+        "interop_parquet_dict": _q_interop_parquet_dict,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -673,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_linenumber % 7 <> 0 AND l_linenumber % 3 <> 0 "
             "THEN l_linenumber END AS num "
             "FROM lineitem"
+        ),
+        "interop_parquet_dict": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
         ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from

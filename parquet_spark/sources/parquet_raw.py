@@ -15,11 +15,13 @@ that exact layout on the write side and parses it on the read side:
     uint32 LE footer length
     PAR1
 
-Scope (the reference's own envelope): flat schemas, REQUIRED/OPTIONAL
-fields, BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY, v1 data pages, PLAIN
-encoding, UNCOMPRESSED/SNAPPY/GZIP/ZSTD page compression. The reader also
-accepts the subset pyarrow emits under use_dictionary=False +
-data_page_version='1.0' (cross-writer test coverage).
+Scope (the reference's own envelope, plus dictionary encoding): flat /
+one-level-list / nested-struct schemas, REQUIRED/OPTIONAL fields,
+BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY, v1 data pages, PLAIN and
+RLE_DICTIONARY value encodings (dict page + index pages, auto-chosen per
+chunk by distinct-count), UNCOMPRESSED/SNAPPY/GZIP/ZSTD page compression.
+The reader accepts default pyarrow/duckdb output (dictionary on,
+data_page_version='1.0'), including dict-encoded list elements.
 
 Byte kernels are shared with the engine's own codecs: plain.py for PLAIN
 values (encode parity with template_required.go:37-48 /
@@ -438,6 +440,7 @@ def write_file(
     page_rows: int = 65536,
     created_by: str = "parquet_spark raw writer",
     row_group_rows: int | None = None,
+    use_dictionary: bool | str = "auto",
 ) -> dict:
     """Write `table` (flat, one-level-list, or nested-struct schema) as a
     standards-compliant Parquet v1 file. Struct columns are flattened to
@@ -445,7 +448,15 @@ def write_file(
     layout, parse.go:108-114). `row_group_rows` rolls a new row group
     every N rows — the reference's one-row-group-per-Write() semantics
     (/root/reference/README.md:70-72); default one group for the file.
-    Returns a summary {dotted_column: {pages, bytes}} for inspection."""
+
+    `use_dictionary`: "auto" (default) dictionary-encodes a chunk
+    (dict page + RLE_DICTIONARY data pages) when its distinct non-null
+    value count is ≤ min(64k, half the values) — the same stats-driven
+    codec choice the engine's own format makes, applied to the standards
+    layout; True forces dict, False forces PLAIN. Auto never dict-encodes
+    float/double (NaN bit-exactness) or boolean chunks.
+    Returns a summary {dotted_column: {pages, bytes[, dict]}} for
+    inspection."""
     codec_id = CODEC_IDS[compression]
     codec = None if compression == "none" else pa.Codec(compression)
     leaves = _leaf_specs(table.schema)
@@ -480,33 +491,80 @@ def write_file(
                             f"column {field.name!r}: element declared non-nullable but holds nulls"
                         )
                     max_def = (1 if optional else 0) + 1 + (1 if elem.nullable else 0)
-                data_page_offset = offset
                 total_comp = total_uncomp = 0
                 n_pages = 0
                 n_values_total = 0
+                # phase 1: shred every page (levels + dense non-null values)
+                # so the chunk-wide dictionary decision can see all values
+                # before the first page byte is written
+                page_specs: list[tuple[bytes, int, int]] = []
+                dense_parts: list[pa.Array] = []
                 for start in range(0, len(arr), page_rows):
                     page = arr.slice(start, page_rows)
-                    body = b""
                     if is_list:
                         # repeated column: rep levels + def levels + dense
                         # values (Dremel layout, ref fields.go:232-271)
                         rep, defs, dense, n_vals = _list_levels(page, optional, elem.nullable)
-                        body += rle.encode(rep, 1)
-                        body += rle.encode(defs, _bit_width(max_def))
-                        values, _ = _plain_encode(dense, phys)
-                        body += values
+                        lv = rle.encode(rep, 1) + rle.encode(defs, _bit_width(max_def))
                     else:
                         # a REQUIRED chain writes no def levels, so a null
                         # under a defined parent would silently produce a
                         # value stream shorter than num_values — an
                         # unreadable file; _chain_levels fails loudly
-                        defs, max_def, dense = _chain_levels(page, leaf["chain"])
-                        if max_def:
-                            body += rle.encode(defs, _bit_width(max_def))
-                        values, _ = _plain_encode(dense, phys)
-                        body += values
+                        defs, chain_max_def, dense = _chain_levels(page, leaf["chain"])
+                        lv = rle.encode(defs, _bit_width(chain_max_def)) if chain_max_def else b""
                         n_vals = len(page)
                     n_values_total += n_vals
+                    page_specs.append((lv, n_vals, len(dense)))
+                    dense_parts.append(dense)
+                # chunk-wide dictionary decision: auto keeps parquet's own
+                # heuristic shape (small distinct set relative to values);
+                # floats stay PLAIN under auto so NaN payloads remain
+                # bit-exact through Arrow's hash canonicalization
+                denc = None
+                n_dense_total = sum(len(d) for d in dense_parts)
+                if use_dictionary and phys != T_BOOLEAN and n_dense_total:
+                    auto_ok = phys not in (T_FLOAT, T_DOUBLE) or use_dictionary is True
+                    if auto_ok:
+                        import pyarrow.compute as pc
+
+                        cand = pc.dictionary_encode(pa.concat_arrays(dense_parts))
+                        ndv = len(cand.dictionary)
+                        if use_dictionary is True or ndv <= min(65536, max(1, n_dense_total // 2)):
+                            denc = cand
+                dict_off = None
+                if denc is not None:
+                    dict_off = offset
+                    dict_body, _ = _plain_encode(denc.dictionary, phys)
+                    comp_d = codec.compress(dict_body).to_pybytes() if codec else dict_body
+                    hdr = TCWriter()
+                    hdr.i32(1, PAGE_DICT)
+                    hdr.i32(2, len(dict_body))
+                    hdr.i32(3, len(comp_d))
+                    hdr.struct_begin(7)  # DictionaryPageHeader
+                    hdr.i32(1, len(denc.dictionary))
+                    hdr.i32(2, ENC_PLAIN)
+                    hdr.struct_end()
+                    page_bytes = hdr.finish() + comp_d
+                    f.write(page_bytes)
+                    offset += len(page_bytes)
+                    total_comp += len(page_bytes)
+                    total_uncomp += len(hdr.buf) + len(dict_body)
+                    n_pages += 1
+                    idx_all = denc.indices.to_numpy(zero_copy_only=False)
+                    idx_width = max(1, _bit_width(max(len(denc.dictionary) - 1, 0)))
+                data_page_offset = offset
+                idx_pos = 0
+                for i, (lv, n_vals, n_dense) in enumerate(page_specs):
+                    if denc is not None:
+                        # RLE_DICTIONARY: 1-byte bit width + unframed
+                        # RLE/bit-pack hybrid of dictionary indices
+                        idx_page = idx_all[idx_pos : idx_pos + n_dense]
+                        idx_pos += n_dense
+                        body = lv + bytes([idx_width]) + rle.encode(idx_page, idx_width)[4:]
+                    else:
+                        values, _ = _plain_encode(dense_parts[i], phys)
+                        body = lv + values
                     comp_body = codec.compress(body).to_pybytes() if codec else body
                     hdr = TCWriter()
                     hdr.i32(1, PAGE_DATA)
@@ -514,7 +572,7 @@ def write_file(
                     hdr.i32(3, len(comp_body))
                     hdr.struct_begin(5)  # DataPageHeader
                     hdr.i32(1, n_vals)
-                    hdr.i32(2, ENC_PLAIN)
+                    hdr.i32(2, ENC_RLE_DICT if denc is not None else ENC_PLAIN)
                     hdr.i32(3, ENC_RLE)  # definition levels
                     # repetition levels: RLE when present, BIT_PACKED marker when flat
                     hdr.i32(4, ENC_RLE if is_list else ENC_BIT_PACKED)
@@ -526,14 +584,18 @@ def write_file(
                     total_uncomp += len(hdr.buf) + len(body)
                     n_pages += 1
                 dotted = ".".join(leaf["path"])
+                encs = [ENC_PLAIN, ENC_RLE] + ([ENC_RLE_DICT] if denc is not None else [])
                 chunks_meta.append(
                     dict(name=dotted, phys=phys, n_values=n_values_total, codec=codec_id,
                          uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset,
+                         dict_off=dict_off, encs=encs,
                          path=leaf["path"] if not is_list else [leaf["path"][0], "list", "element"])
                 )
                 s = summary.setdefault(dotted, {"pages": 0, "bytes": 0})
                 s["pages"] += n_pages
                 s["bytes"] += total_comp
+                if denc is not None:
+                    s["dict"] = True
             rgs_meta.append((chunks_meta, rg_tbl.num_rows))
 
         # FileMetaData footer
@@ -554,16 +616,19 @@ def write_file(
             w.struct_list_begin(1, len(chunks_meta))  # columns
             for cm in chunks_meta:
                 w.elem_struct_begin()
-                w.i64(2, cm["page_off"])  # file_offset
+                # file_offset: first page of the chunk (dict page if any)
+                w.i64(2, cm["dict_off"] if cm["dict_off"] is not None else cm["page_off"])
                 w.struct_begin(3)  # ColumnMetaData
                 w.i32(1, cm["phys"])
-                w.i32_list(2, [ENC_PLAIN, ENC_RLE])
+                w.i32_list(2, cm["encs"])
                 w.str_list(3, cm["path"])
                 w.i32(4, cm["codec"])
                 w.i64(5, cm["n_values"])
                 w.i64(6, cm["uncomp"])
                 w.i64(7, cm["comp"])
                 w.i64(9, cm["page_off"])  # data_page_offset
+                if cm["dict_off"] is not None:
+                    w.i64(11, cm["dict_off"])  # dictionary_page_offset
                 w.struct_end()
                 w.elem_struct_end()
             w.i64(2, sum(cm["comp"] for cm in chunks_meta))
@@ -587,6 +652,19 @@ def _plain_decode(body: memoryview, n: int, phys: int) -> pa.Array:
         return pa.array(plain.decode_strings_ref(bytes(body), n), pa.binary())
     npdt = _PHYS_NP[phys]
     return pa.array(plain.decode_numeric(body, n, np.dtype(npdt)))
+
+
+def _dict_decode(body: memoryview, off: int, n: int, dict_vals: pa.Array | None, name: str) -> pa.Array:
+    """RLE_DICTIONARY page values: 1-byte bit width + unframed RLE/bit-pack
+    hybrid of dictionary indices, gathered from the chunk's dict page."""
+    if dict_vals is None:
+        raise ValueError(f"column {name!r}: dict-encoded page before dict page")
+    if n == 0:
+        return dict_vals.slice(0, 0)
+    width = body[off]
+    rest = bytes(body[off + 1 :])
+    idx, _ = rle.decode(struct.pack("<i", len(rest)) + rest, n, width)
+    return dict_vals.take(pa.array(idx.astype(np.int64), pa.int64()))
 
 
 def read_metadata(path: str) -> dict:
@@ -738,8 +816,9 @@ def _assemble_list(rep: np.ndarray, defs: np.ndarray, dense: pa.Array, info: dic
 
 def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
     """Read a Parquet v1 file (flat, one-level-list, or nested-struct
-    schema; PLAIN or dictionary-free subset) into a pa.Table, using only
-    this module's parsers and the engine's plain/rle kernels."""
+    schema; PLAIN or dictionary-encoded, incl. dict-encoded list
+    elements) into a pa.Table, using only this module's parsers and the
+    engine's plain/rle kernels."""
     parsed = read_metadata(path)
     data, meta = memoryview(parsed["_raw"]), parsed["meta"]
     infos = _parse_schema(meta[2])
@@ -804,8 +883,6 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                 info = leaf_of.get(dotted) or by_name[name]
                 off = 0
                 if info["kind"] == "list":
-                    if enc != ENC_PLAIN:
-                        raise NotImplementedError("dictionary-encoded list pages unsupported")
                     rep_enc = dph.get(4)
                     if rep_enc != ENC_RLE:
                         raise NotImplementedError(f"repetition-level encoding {rep_enc}")
@@ -814,9 +891,11 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     defs, consumed = rle.decode(body[off:], n_vals, _bit_width(info["d_valid"]))
                     off += consumed
                     n_dense = int((defs == info["d_valid"]).sum())
-                    dense = _convert_values(
-                        _plain_decode(body[off:], n_dense, phys), info["elem_conv"]
-                    )
+                    if enc == ENC_PLAIN:
+                        dense = _plain_decode(body[off:], n_dense, phys)
+                    else:  # RLE_DICTIONARY / PLAIN_DICTIONARY element indices
+                        dense = _dict_decode(body, off, n_dense, dict_vals, name)
+                    dense = _convert_values(dense, info["elem_conv"])
                     arrays.setdefault(name, []).append(_assemble_list(reps, defs, dense, info))
                     got += n_vals
                     continue
@@ -838,12 +917,7 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                 if enc == ENC_PLAIN:
                     vals = _plain_decode(body[off:], n_dense, phys)
                 else:  # dictionary indices: 1 byte bit width + unframed RLE
-                    if dict_vals is None:
-                        raise ValueError(f"column {name!r}: dict-encoded page before dict page")
-                    width = body[off]
-                    rest = bytes(body[off + 1 :])
-                    idx, _ = rle.decode(struct.pack("<i", len(rest)) + rest, n_dense, width)
-                    vals = dict_vals.take(pa.array(idx.astype(np.int64), pa.int64()))
+                    vals = _dict_decode(body, off, n_dense, dict_vals, name)
                 if validity is not None:
                     # null scatter: take() with null indices yields nulls
                     idx = np.zeros(n_vals, dtype=np.int64)
@@ -929,12 +1003,13 @@ def _assemble_struct_column(info: dict, arrays: dict, defs_acc: dict) -> pa.Arra
 
 
 def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int = 65536,
-                   row_group_rows: int | None = None):
+                   row_group_rows: int | None = None, use_dictionary: bool | str = "auto"):
     """Distributed standards-Parquet export: each partition writes one
     part-N.parquet via the raw writer inside a mapInArrow task (no driver
     collect — the scale path for 'hand this table to any Parquet reader').
     `row_group_rows` rolls row groups within each part file so foreign
-    readers get skipping/parallelism granularity inside large parts.
+    readers get skipping/parallelism granularity inside large parts;
+    `use_dictionary` ("auto" default) dict-encodes low-cardinality chunks.
     Returns the per-part summary DataFrame (path, rows, bytes); consuming
     it is what triggers the export."""
     import os
@@ -954,7 +1029,7 @@ def export_parquet(df, out_dir: str, compression: str = "snappy", page_rows: int
         table = _pa.concat_tables(tbls)
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         write_file(path, table, compression=compression, page_rows=page_rows,
-                   row_group_rows=row_group_rows)
+                   row_group_rows=row_group_rows, use_dictionary=use_dictionary)
         from parquet_spark import tablefs
 
         _fs, _p, _ = tablefs.resolve(path)
