@@ -20,8 +20,10 @@ one-level-list / nested-struct schemas, REQUIRED/OPTIONAL fields,
 BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY, v1 data pages, PLAIN and
 RLE_DICTIONARY value encodings (dict page + index pages, auto-chosen per
 chunk by distinct-count), UNCOMPRESSED/SNAPPY/GZIP/ZSTD page compression.
-The reader accepts default pyarrow/duckdb output (dictionary on,
-data_page_version='1.0'), including dict-encoded list elements.
+The reader accepts default pyarrow/duckdb output (dictionary on, v1 OR
+v2 data pages), including dict-encoded list elements: DATA_PAGE_V2's
+uncompressed unframed level sections are reshaped into the v1 body
+layout so one assembly path serves both page versions.
 
 Byte kernels are shared with the engine's own codecs: plain.py for PLAIN
 values (encode parity with template_required.go:37-48 /
@@ -866,17 +868,36 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                 comp_size = hdr[3]
                 body = data[body_start : body_start + comp_size]
                 pos = body_start + comp_size
-                if codec is not None:
-                    body = memoryview(codec.decompress(bytes(body), hdr[2]))
-                if hdr[1] == PAGE_DICT:
-                    dph = hdr[7]
-                    if dph[2] not in (ENC_PLAIN, ENC_PLAIN_DICT):
-                        raise NotImplementedError(f"dictionary page encoding {dph[2]}")
-                    dict_vals = _plain_decode(body, dph[1], phys)
-                    continue
-                if hdr[1] != PAGE_DATA:
-                    raise NotImplementedError(f"page type {hdr[1]} (v2 pages unsupported)")
-                dph = hdr[5]
+                if hdr[1] == PAGE_DATA_V2:
+                    # v2 page: levels sit UNCOMPRESSED and UNFRAMED before
+                    # the (optionally compressed) values section; reshape
+                    # into the v1 body layout (4-byte-framed levels +
+                    # values) so one assembly path serves both versions
+                    d2 = hdr[8]
+                    rl, dl = d2.get(6, 0), d2.get(5, 0)
+                    levels = bytes(body[: rl + dl])
+                    vals_raw = body[rl + dl :]
+                    if codec is not None and d2.get(7, True):
+                        vals_raw = codec.decompress(bytes(vals_raw), hdr[2] - rl - dl)
+                    body = memoryview(
+                        (struct.pack("<i", rl) + levels[:rl] if rl else b"")
+                        + (struct.pack("<i", dl) + levels[rl:] if dl else b"")
+                        + bytes(vals_raw)
+                    )
+                    dph = {1: d2[1], 2: d2[4], 3: ENC_RLE,
+                           4: ENC_RLE if rl else ENC_BIT_PACKED}
+                else:
+                    if codec is not None:
+                        body = memoryview(codec.decompress(bytes(body), hdr[2]))
+                    if hdr[1] == PAGE_DICT:
+                        dph = hdr[7]
+                        if dph[2] not in (ENC_PLAIN, ENC_PLAIN_DICT):
+                            raise NotImplementedError(f"dictionary page encoding {dph[2]}")
+                        dict_vals = _plain_decode(body, dph[1], phys)
+                        continue
+                    if hdr[1] != PAGE_DATA:
+                        raise NotImplementedError(f"page type {hdr[1]}")
+                    dph = hdr[5]
                 n_vals, enc, def_enc = dph[1], dph[2], dph[3]
                 if enc not in (ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE_DICT):
                     raise NotImplementedError(f"value encoding {enc}")

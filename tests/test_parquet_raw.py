@@ -428,3 +428,31 @@ def test_dict_write_struct_leaves(tmp_path):
     assert summ["meta.lang"].get("dict")
     assert pq.read_table(p).equals(t)
     assert praw.read_file(p).cast(t.schema).equals(t)
+
+
+# ------------------------------------------------------------- v2 data pages
+
+
+@pytest.mark.parametrize("dic", [True, False])
+@pytest.mark.parametrize("compression", ["snappy", "none"])
+def test_read_pyarrow_v2_pages(tmp_path, dic, compression):
+    # DATA_PAGE_V2: levels uncompressed + unframed ahead of the values
+    # section; exercises flat/nullable/list/struct across dict and plain
+    n = 4000
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, None, 4] * (n // 4), pa.int64()),
+            "s": pa.array(["x", "y", None, "zz"] * (n // 4)),
+            "hi": pa.array([str(i) for i in range(n)]),
+            "f": pa.array(np.linspace(0, 1, n)),
+            "L": pa.array([["a"], None, [], ["b", "c"]] * (n // 4), pa.list_(pa.string())),
+            "st": pa.array(
+                [None if i % 7 == 0 else {"x": f"v{i % 3}", "y": i} for i in range(n)],
+                pa.struct([pa.field("x", pa.string()), pa.field("y", pa.int64())]),
+            ),
+        }
+    )
+    p = str(tmp_path / "v2.parquet")
+    pq.write_table(t, p, data_page_version="2.0", use_dictionary=dic,
+                   compression=compression, row_group_size=1500)
+    assert praw.read_file(p).cast(t.schema).equals(t)
