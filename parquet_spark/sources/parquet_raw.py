@@ -23,7 +23,10 @@ chunk by distinct-count), UNCOMPRESSED/SNAPPY/GZIP/ZSTD page compression.
 The reader accepts default pyarrow/duckdb output (dictionary on, v1 OR
 v2 data pages), including dict-encoded list elements: DATA_PAGE_V2's
 uncompressed unframed level sections are reshaped into the v1 body
-layout so one assembly path serves both page versions.
+layout so one assembly path serves both page versions. It also decodes
+the DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+BYTE_STREAM_SPLIT value encodings (codecs/pq_delta.py) — parquet-mr's
+v2 write defaults.
 
 Byte kernels are shared with the engine's own codecs: plain.py for PLAIN
 values (encode parity with template_required.go:37-48 /
@@ -46,6 +49,7 @@ MAGIC = b"PAR1"
 T_BOOLEAN, T_INT32, T_INT64, T_INT96, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
 REQUIRED, OPTIONAL, REPEATED = 0, 1, 2
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_BIT_PACKED, ENC_RLE_DICT = 0, 2, 3, 4, 8
+ENC_DELTA_BP, ENC_DELTA_LEN, ENC_DELTA_BA, ENC_BSS = 5, 6, 7, 9
 CODEC_IDS = {"none": 0, "snappy": 1, "gzip": 2, "lz4": 5, "zstd": 6}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 PAGE_DATA, PAGE_INDEX, PAGE_DICT, PAGE_DATA_V2 = 0, 1, 2, 3
@@ -656,6 +660,38 @@ def _plain_decode(body: memoryview, n: int, phys: int) -> pa.Array:
     return pa.array(plain.decode_numeric(body, n, np.dtype(npdt)))
 
 
+def _decode_values(body: memoryview, off: int, n: int, phys: int, enc: int,
+                   dict_vals: pa.Array | None, name: str) -> pa.Array:
+    """Value-section dispatch shared by flat and repeated leaves: PLAIN,
+    dictionary indices, the DELTA_* family, and BYTE_STREAM_SPLIT."""
+    if enc == ENC_PLAIN:
+        return _plain_decode(body[off:], n, phys)
+    if enc in (ENC_PLAIN_DICT, ENC_RLE_DICT):
+        return _dict_decode(body, off, n, dict_vals, name)
+    from parquet_spark.codecs import pq_delta
+
+    if enc == ENC_DELTA_BP:
+        if phys not in (T_INT32, T_INT64):
+            raise NotImplementedError(f"DELTA_BINARY_PACKED on physical type {phys}")
+        return pa.array(pq_delta.delta_bp_to_ints(body, off, n, phys == T_INT32))
+    if enc == ENC_DELTA_LEN:
+        if phys != T_BYTE_ARRAY:
+            raise NotImplementedError(f"DELTA_LENGTH_BYTE_ARRAY on physical type {phys}")
+        arr, _ = pq_delta.decode_delta_length_byte_array(body, off, n)
+        return arr
+    if enc == ENC_DELTA_BA:
+        if phys != T_BYTE_ARRAY:
+            raise NotImplementedError(f"DELTA_BYTE_ARRAY on physical type {phys}")
+        return pq_delta.decode_delta_byte_array(body, off, n)
+    if enc == ENC_BSS:
+        if phys not in (T_FLOAT, T_DOUBLE, T_INT32, T_INT64):
+            raise NotImplementedError(f"BYTE_STREAM_SPLIT on physical type {phys}")
+        bw = 4 if phys in (T_FLOAT, T_INT32) else 8
+        raw = pq_delta.decode_byte_stream_split(body[off:], n, bw)
+        return pa.array(np.frombuffer(raw, np.dtype(_PHYS_NP[phys])))
+    raise NotImplementedError(f"value encoding {enc}")
+
+
 def _dict_decode(body: memoryview, off: int, n: int, dict_vals: pa.Array | None, name: str) -> pa.Array:
     """RLE_DICTIONARY page values: 1-byte bit width + unframed RLE/bit-pack
     hybrid of dictionary indices, gathered from the chunk's dict page."""
@@ -899,7 +935,8 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                         raise NotImplementedError(f"page type {hdr[1]}")
                     dph = hdr[5]
                 n_vals, enc, def_enc = dph[1], dph[2], dph[3]
-                if enc not in (ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE_DICT):
+                if enc not in (ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE_DICT,
+                               ENC_DELTA_BP, ENC_DELTA_LEN, ENC_DELTA_BA, ENC_BSS):
                     raise NotImplementedError(f"value encoding {enc}")
                 info = leaf_of.get(dotted) or by_name[name]
                 off = 0
@@ -912,10 +949,7 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     defs, consumed = rle.decode(body[off:], n_vals, _bit_width(info["d_valid"]))
                     off += consumed
                     n_dense = int((defs == info["d_valid"]).sum())
-                    if enc == ENC_PLAIN:
-                        dense = _plain_decode(body[off:], n_dense, phys)
-                    else:  # RLE_DICTIONARY / PLAIN_DICTIONARY element indices
-                        dense = _dict_decode(body, off, n_dense, dict_vals, name)
+                    dense = _decode_values(body, off, n_dense, phys, enc, dict_vals, name)
                     dense = _convert_values(dense, info["elem_conv"])
                     arrays.setdefault(name, []).append(_assemble_list(reps, defs, dense, info))
                     got += n_vals
@@ -935,10 +969,7 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     if not bool((levels == max_def).all()):
                         validity = levels == max_def
                 n_dense = n_vals if validity is None else int(validity.sum())
-                if enc == ENC_PLAIN:
-                    vals = _plain_decode(body[off:], n_dense, phys)
-                else:  # dictionary indices: 1 byte bit width + unframed RLE
-                    vals = _dict_decode(body, off, n_dense, dict_vals, name)
+                vals = _decode_values(body, off, n_dense, phys, enc, dict_vals, name)
                 if validity is not None:
                     # null scatter: take() with null indices yields nulls
                     idx = np.zeros(n_vals, dtype=np.int64)

@@ -456,3 +456,53 @@ def test_read_pyarrow_v2_pages(tmp_path, dic, compression):
     pq.write_table(t, p, data_page_version="2.0", use_dictionary=dic,
                    compression=compression, row_group_size=1500)
     assert praw.read_file(p).cast(t.schema).equals(t)
+
+
+# ------------------------------------------------- DELTA_* / BYTE_STREAM_SPLIT
+
+
+@pytest.mark.parametrize("version,compression", [("1.0", "none"), ("1.0", "snappy"), ("2.0", "snappy")])
+def test_read_delta_and_bss_encodings(tmp_path, version, compression):
+    # pyarrow is the cross-writer: parquet-mr's v2 defaults use these
+    n = 5000
+    t = pa.table(
+        {
+            "i64": pa.array([(-1) ** i * i * 123456789 for i in range(n)], pa.int64()),
+            "i32": pa.array([None if i % 11 == 0 else (i * 7) % 997 - 500 for i in range(n)], pa.int32()),
+            "s": pa.array([None if i % 13 == 0 else f"prefix_{i:05d}_suffix" for i in range(n)]),
+            "f32": pa.array(np.linspace(-1, 1, n, dtype=np.float32)),
+            "f64": pa.array(np.linspace(-5, 5, n)),
+        }
+    )
+    p = str(tmp_path / "delta.parquet")
+    pq.write_table(
+        t, p, use_dictionary=False, compression=compression, data_page_version=version,
+        row_group_size=1700,
+        column_encoding={"i64": "DELTA_BINARY_PACKED", "i32": "DELTA_BINARY_PACKED",
+                         "s": "DELTA_BYTE_ARRAY", "f32": "BYTE_STREAM_SPLIT",
+                         "f64": "BYTE_STREAM_SPLIT"},
+    )
+    assert praw.read_file(p).cast(t.schema).equals(t)
+
+
+def test_read_delta_length_byte_array(tmp_path):
+    t = pa.table({"s": pa.array([None if i % 7 == 0 else f"v{i}" * (i % 5) for i in range(3000)])})
+    p = str(tmp_path / "dlba.parquet")
+    pq.write_table(t, p, use_dictionary=False, compression="none",
+                   column_encoding={"s": "DELTA_LENGTH_BYTE_ARRAY"}, data_page_version="1.0")
+    assert praw.read_file(p).cast(t.schema).equals(t)
+
+
+def test_delta_bp_wraparound_and_extremes():
+    # int64 extremes force max-width miniblocks and modular arithmetic
+    from parquet_spark.codecs import pq_delta
+
+    vals = pa.array([0, 2**63 - 1, -(2**63), 17, -17, 2**62, -(2**62), 0], pa.int64())
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "x.parquet")
+    pq.write_table(pa.table({"v": vals}), p, use_dictionary=False, compression="none",
+                   column_encoding={"v": "DELTA_BINARY_PACKED"}, data_page_version="1.0")
+    got = praw.read_file(p)
+    assert got.column("v").combine_chunks().cast(pa.int64()).equals(vals)
