@@ -503,6 +503,18 @@ def _q_events_session_stats(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_events_session_window(spark, sf_dir):
+    """Native session-window aggregation over the events stream — the
+    STREAMING-capable sessionization form (same operator runs under
+    writeStream with a watermark; certified here on the static table).
+    Oracle is an independent SQL reproduction of Spark's session_window
+    semantics: strictly-greater gap splits, window end = last event +
+    gap. One shuffle on the user key."""
+    from parquet_spark.pipeline.events import session_stats_windowed
+
+    return session_stats_windowed(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def _q_corpus_ngram_counts(spark, sf_dir):
     """Top-k word-trigram frequency over the corpus (vocabulary audit /
     contamination-index building block) — one explode + one map-side-
@@ -629,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "text_strip_repeated_lines": _q_text_strip_repeated_lines,
         "events_session_stats": _q_events_session_stats,
+        "events_session_window": _q_events_session_window,
         "corpus_ngram_counts": _q_corpus_ngram_counts,
         "corpus_contamination": _q_corpus_contamination,
         "corpus_boilerplate_segments": _q_corpus_boilerplate_segments,
@@ -758,6 +771,7 @@ def _pipeline_oracles() -> dict[str, str]:
 
     return {
         "events_session_stats": events.session_stats_oracle(gap_minutes=30),
+        "events_session_window": events.session_window_oracle(gap_minutes=30),
         "text_token_counts": textops.token_counts_oracle(),
         "text_quality_scores": textops.quality_scores_oracle(),
         "text_language_id": textops.language_id_oracle(),

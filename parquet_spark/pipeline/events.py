@@ -62,6 +62,71 @@ def session_stats(
     )
 
 
+def session_stats_windowed(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session aggregation via Spark's native session window — the
+    STREAMING-capable form of `session_stats` (works on static frames
+    too). Boundary semantics match `sessionize` exactly: an event landing
+    exactly `gap_minutes` after the previous one stays in-session; the
+    split is strictly-greater (pinned by test). Output window end is
+    last-event-ts + gap (Spark's definition), so `t_end` here differs
+    from `session_stats`'s max(ts) by exactly the gap.
+
+    Pass `watermark` (e.g. "1 hour") on unbounded streams: it bounds the
+    session state Spark keeps and lets append-mode emit closed sessions.
+    Scale note: same single shuffle on the user key as the batch path;
+    state store size is O(open sessions), not O(events).
+    """
+    w = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        w.groupBy(F.col(user_col), F.session_window(F.col(ts_col), f"{int(gap_minutes)} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("t_start"),
+            F.col("session_window.end").alias("t_end"),
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+def session_window_oracle(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> str:
+    """Independent SQL reproduction of Spark's session_window semantics:
+    split on gap strictly greater than the threshold; window start = first
+    event, window end = last event + gap."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    win = f"PARTITION BY {user_col} ORDER BY {ts_col}"
+    return (
+        f"WITH e AS (SELECT {user_col}, {ts_col}, {value_col}, "
+        f"CASE WHEN lag({ts_col}) OVER ({win}) IS NULL "
+        f"OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER ({win})) > {gap_us} "
+        f"THEN 1 ELSE 0 END AS s FROM {table}), "
+        f"n AS (SELECT {user_col}, {ts_col}, {value_col}, "
+        f"sum(s) OVER ({win} ROWS UNBOUNDED PRECEDING) AS session_num FROM e) "
+        f"SELECT {user_col}, min({ts_col}) AS t_start, "
+        f"max({ts_col}) + INTERVAL {int(gap_minutes)} MINUTE AS t_end, "
+        f"CAST(count(*) AS BIGINT) AS n_events, "
+        f"max({value_col}) AS max_value "
+        f"FROM n GROUP BY {user_col}, session_num"
+    )
+
+
 def session_stats_oracle(
     table: str = "events",
     user_col: str = "user_id",

@@ -157,3 +157,80 @@ def test_stream_encode_partition_mode(spark, workdir):
     assert _crc(out) == _crc(src)
     enc(batches[0], 0)  # replay → no dup
     assert read_encoded_stream_output(spark, workdir).count() == 2000
+
+
+def test_session_window_boundary_matches_batch_sessionize(spark):
+    """Spark's session_window and our batch sessionize agree: an event at
+    EXACTLY the gap stays in-session, strictly-greater splits, and the
+    native window's end is last-event + gap."""
+    import datetime as dt
+
+    from parquet_spark.pipeline.events import session_stats_windowed
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, t0, 1.0), (2, 1, t0 + 30 * m, 9.0),          # exactly gap: one session
+        (3, 2, t0, 2.0), (4, 2, t0 + 31 * m, 3.0),          # beyond gap: two sessions
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["t_start"]): r
+        for r in session_stats_windowed(df, gap_minutes=30).collect()
+    }
+    assert got[(1, t0)]["n_events"] == 2 and got[(1, t0)]["max_value"] == 9.0
+    assert got[(1, t0)]["t_end"] == t0 + 60 * m  # last event (12:30) + gap
+    assert got[(2, t0)]["n_events"] == 1
+    assert got[(2, t0 + 31 * m)]["n_events"] == 1
+    assert len(got) == 3
+
+
+def test_streaming_session_window_append_with_watermark(spark, tmp_path):
+    """Watermarked streaming sessionization: append mode emits a session
+    only once the watermark passes its close; sentinel files advance the
+    watermark deterministically (maxFilesPerTrigger=1 → one batch each)."""
+    import datetime as dt
+    import os
+
+    from parquet_spark.pipeline.events import session_stats_windowed
+
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    real = spark.createDataFrame(
+        [(1, 1, t0, 1.0), (2, 1, t0 + 5 * m, 7.0), (3, 2, t0 + 2 * m, 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    s1 = spark.createDataFrame(
+        [(90, 90, t0 + dt.timedelta(hours=5), 0.0)], real.schema
+    )
+    s2 = spark.createDataFrame(
+        [(91, 91, t0 + dt.timedelta(hours=10), 0.0)], real.schema
+    )
+    real.coalesce(1).write.parquet(src + "/f1")
+    s1.coalesce(1).write.parquet(src + "/f2")
+    s2.coalesce(1).write.parquet(src + "/f3")
+
+    stream = (
+        spark.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/f*")
+    )
+    sess = session_stats_windowed(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_out").collect()}
+    # both real sessions emitted closed; the last sentinel's own session
+    # is still open (watermark never passed it) and must NOT appear
+    assert 1 in out and out[1]["n_events"] == 2 and out[1]["max_value"] == 7.0
+    assert out[1]["t_end"] == t0 + 35 * m
+    assert 2 in out and out[2]["n_events"] == 1
+    assert 91 not in out
