@@ -177,6 +177,27 @@ def _q_roundtrip_uint64_extremes(spark, sf_dir):
     return _roundtrip(df)
 
 
+def _q_roundtrip_decimal(spark, sf_dir):
+    """DecimalType through the block engine (codecs/blocks.py decimal128
+    branch): unscaled 128-bit values as two 64-bit word streams with
+    independent codec auto-selection — low-precision money columns cost
+    int64 bytes because the high words are pure sign extension. The
+    result is projected to an exact unscaled BIGINT (cents) because
+    DuckDB's pandas bridge renders DECIMAL as lossy float64; a corrupted
+    decimal round-trip would shift the integers."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        ((F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("decimal(16,0)") / 100)
+        .cast("decimal(16,2)")
+        .alias("price_dec"),
+    )
+    rt = _roundtrip(df)
+    return rt.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("price_dec") * 100).cast("long").alias("price_cents"),
+    )
+
+
 def _q_roundtrip_pruned_read(spark, sf_dir):
     """Stats-backed block pruning through the full table layout: encode
     orders (clustered on o_totalprice), read back with a range predicate
@@ -620,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nested_struct": _q_roundtrip_nested_struct,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_uint64_extremes": _q_roundtrip_uint64_extremes,
+        "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_pruned_read": _q_roundtrip_pruned_read,
         "roundtrip_bloom_pruned": _q_roundtrip_bloom_pruned,
         "interop_parquet_write": _q_interop_parquet_write,
@@ -688,6 +710,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 "
             "THEN CAST(-9223372036854775807 - 1 AS BIGINT) + o_orderkey "
             "ELSE CAST(9223372036854775807 AS BIGINT) - o_orderkey END AS u64 FROM orders"
+        ),
+        "roundtrip_decimal": (
+            # exact unscaled projection: DuckDB's pandas bridge renders
+            # DECIMAL as float64, so both sides compare integer cents
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS price_cents "
+            "FROM lineitem"
         ),
         "roundtrip_pruned_read": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

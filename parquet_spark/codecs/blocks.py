@@ -54,7 +54,7 @@ _DTYPES = {
     "float32": 8, "float64": 9, "bool": 10,
     "string": 11, "binary": 12, "list": 13,
     "timestamp_us": 14, "date32": 15, "large_string": 16,
-    "struct": 17,
+    "struct": 17, "decimal128": 18,
 }
 _DTYPE_NAMES = {v: k for k, v in _DTYPES.items()}
 
@@ -102,6 +102,8 @@ def _arrow_dtype_name(typ: pa.DataType) -> str:
         return "float32"
     if pa.types.is_float64(typ):
         return "float64"
+    if pa.types.is_decimal(typ):
+        return "decimal128"
     return str(typ)
 
 
@@ -243,6 +245,27 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             parts.append(struct.pack("<HI", len(name_b), len(child_block)) + name_b + child_block)
         body = struct.pack("<H", typ.num_fields) + b"".join(parts)
         codec_name, comp = "plain", "none"
+    elif dt_name == "decimal128":
+        # unscaled 128-bit ints as two 64-bit word streams with independent
+        # codec choices: for precision ≤ 18 the high words are pure sign
+        # extension (two values) and RLE/dict them away, so money-style
+        # columns pay int64 cost while precision-38 stays exact
+        if not (0 <= typ.scale <= 255):
+            raise ValueError(f"decimal scale {typ.scale} outside the encodable 0..255 range")
+        if len(dense):
+            words = np.frombuffer(
+                dense.buffers()[1], np.uint64, 2 * len(dense), offset=dense.offset * 16
+            ).reshape(-1, 2)
+        else:
+            words = np.zeros((0, 2), np.uint64)
+        lo, hi = words[:, 0].copy(), words[:, 1].copy().view(np.int64)
+        lo_codec = codec or chooser.choose_int_codec(analyze.block_stats(lo), 8)
+        hi_codec = chooser.choose_int_codec(analyze.block_stats(hi), 8)
+        lo_body = _encode_ints(lo, lo_codec)
+        body = struct.pack("<BBI", CODEC_IDS[lo_codec], CODEC_IDS[hi_codec], len(lo_body))
+        body += lo_body + _encode_ints(hi, hi_codec)
+        codec_name = lo_codec
+        comp = compression if compression is not None else "none"
     elif dt_name in ("string", "large_string", "binary"):
         sa = dense
         if dt_name == "large_string":
@@ -311,9 +334,11 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
     payload = _compress(comp, raw)
     if len(payload) >= len(raw) - 8:  # compression not worth it
         comp, payload = "none", raw
+    # the 2-byte reserved slot carries (precision, scale) for decimals
+    reserved = (typ.precision << 8) | typ.scale if dt_name == "decimal128" else 0
     header = _HEADER.pack(
         MAGIC, VERSION, CODEC_IDS[codec_name], COMPRESSIONS[comp], flags,
-        _DTYPES[dt_name], child_dt, 0, n, len(payload), len(raw),
+        _DTYPES[dt_name], child_dt, reserved, n, len(payload), len(raw),
     )
     return header + payload
 
@@ -321,7 +346,7 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
 def decode_array(buf: bytes | memoryview) -> pa.Array:
     """Decode one block back to an Arrow array (inverse of encode_array)."""
     mv = memoryview(buf)
-    magic, version, codec_id, comp_id, flags, dt_id, child_dt, _, n, body_len, raw_len = _HEADER.unpack_from(mv, 0)
+    magic, version, codec_id, comp_id, flags, dt_id, child_dt, reserved, n, body_len, raw_len = _HEADER.unpack_from(mv, 0)
     if magic != MAGIC:
         raise ValueError("bad block magic")
     codec_name = CODEC_NAMES[codec_id]
@@ -363,6 +388,19 @@ def decode_array(buf: bytes | memoryview) -> pa.Array:
             children.append(decode_array(memoryview(body)[p : p + child_len]))
             p += child_len
         dense = pa.StructArray.from_arrays(children, names=names)
+        return _scatter_nulls(dense, mask, n)
+    if dt_name == "decimal128":
+        precision, scale = reserved >> 8, reserved & 0xFF
+        lo_c, hi_c, lo_len = struct.unpack_from("<BBI", body, 0)
+        lo = _decode_ints(bytes(body[6 : 6 + lo_len]), n_dense, np.uint64, CODEC_NAMES[lo_c])
+        hi = _decode_ints(bytes(body[6 + lo_len :]), n_dense, np.int64, CODEC_NAMES[hi_c])
+        words = np.empty((n_dense, 2), np.uint64)
+        words[:, 0] = lo
+        words[:, 1] = hi.view(np.uint64)
+        dense = pa.Array.from_buffers(
+            pa.decimal128(precision, scale), n_dense,
+            [None, pa.py_buffer(np.ascontiguousarray(words).tobytes())],
+        )
         return _scatter_nulls(dense, mask, n)
     if dt_name in ("string", "large_string", "binary"):
         offsets, data = _decode_string_body(body, n_dense, codec_name)

@@ -554,6 +554,12 @@ def _partition_balance(df: DataFrame, weight_col: str | None) -> dict | None:
     from pyspark.sql.utils import AnalysisException
 
     pid = F.spark_partition_id().alias("__pid")
+    # a plain-name weight column absent from the frame falls back to row
+    # counts without round-tripping an AnalysisException through the JVM
+    # (which logs a scary ERROR even when caught); the try/except below
+    # stays as the backstop for expression-valued weight_col
+    if weight_col is not None and weight_col.isidentifier() and weight_col not in df.columns:
+        weight_col = None
     try:
         w = F.sum(F.expr(weight_col)).alias("w") if weight_col else F.count("*").alias("w")
         per = df.groupBy(pid).agg(w, F.count("*").alias("n"))

@@ -250,3 +250,33 @@ def test_explicit_page_compressions_roundtrip():
         assert blk.decode_array(buf).equals(arr), comp
         if comp != "none":
             assert d["compression"] in (comp, "none"), d  # "none" if not worth it
+
+
+def test_decimal128_blocks_roundtrip():
+    """decimal128 blocks: two 64-bit word streams with independent codec
+    choices; precision/scale ride the header's reserved slot. Low
+    precision compresses like int64 (high words are sign extension);
+    precision 38 stays exact through real high words."""
+    from decimal import Decimal
+
+    from parquet_spark.codecs import blocks as blk
+
+    cases = [
+        (12, 2, [Decimal("123.45"), Decimal("-9999999999.99"), None, Decimal("0.01")] * 500),
+        (38, 10, [Decimal("12345678901234567890123456.7890123456"),
+                  Decimal("-" + "9" * 28 + "." + "9" * 10), None] * 500),
+        (5, 0, [Decimal(i % 97) for i in range(3000)]),
+        (38, 0, [Decimal(2**100 + i) for i in range(1000)]),
+        (10, 3, []),
+    ]
+    import pyarrow as pa
+
+    for p, s, vals in cases:
+        arr = pa.array(vals, pa.decimal128(p, s))
+        buf = blk.encode_array(arr)
+        assert blk.decode_array(buf).equals(arr), (p, s)
+        d = blk.describe(buf)
+        assert d["dtype"] == "decimal128" and d["n"] == len(vals)
+    # sign-extension high words make the low-precision block tiny
+    money = pa.array([Decimal("19.99"), Decimal("4.50")] * 4000, pa.decimal128(12, 2))
+    assert len(blk.encode_array(money)) < 16 * len(money) // 20

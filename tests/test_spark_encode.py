@@ -431,3 +431,30 @@ def test_resume_manifest_parts_never_collide(spark, seq_path, tmp_path):
     got = {r["bucket"] for r in man.select("bucket").distinct().collect()}
     data_buckets = {r["bucket"] for r in spark.read.parquet(os.path.join(path, "data")).select("bucket").distinct().collect()}
     assert got >= data_buckets
+
+
+def test_decimal_write_read_encoded_with_pruning(spark, tmp_path):
+    """DecimalType end-to-end: encode → decode preserves exact values
+    (sums in decimal domain), and a typed Decimal predicate prunes and
+    filters correctly."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") * F.lit(1.5)).cast("decimal(12,2)").alias("price"),
+        (F.col("id") * F.col("id") * F.lit(1234567.89)).cast("decimal(38,10)").alias("big"),
+    )
+    path = str(tmp_path / "dec_tbl")
+    write_encoded(df, path)
+    back = read_encoded(spark, path)
+    assert back.count() == 20000
+    a = df.agg(F.sum("price"), F.sum("big")).collect()[0]
+    b = back.agg(F.sum("price"), F.sum("big")).collect()[0]
+    assert a == b
+    pruned = read_encoded(spark, path, where=("price", ">", Decimal("25000.00")))
+    assert pruned.count() == df.where(F.col("price") > 25000).count()
