@@ -378,6 +378,35 @@ def _q_interop_parquet_dict(spark, sf_dir):
     return spark.createDataFrame(back.to_pandas(), schema=df.schema)
 
 
+def _q_interop_parquet_decimal(spark, sf_dir):
+    """DECIMAL interop (the third physical layout family): the raw writer
+    stores decimals as minimal-length big-endian FLBA with the DECIMAL
+    converted type (sources/parquet_raw.py _plain_encode /
+    _emit_primitive_elem); PYARROW (third-party) re-reads the file and the
+    values are compared as exact unscaled BIGINT cents (DuckDB's pandas
+    bridge is lossy on DECIMAL, same note as roundtrip_decimal)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        ((F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("decimal(16,0)") / 100)
+        .cast("decimal(16,2)")
+        .alias("price_dec"),
+    )
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/dec.parquet"
+    parquet_raw.write_file(path, df.toArrow(), compression="snappy")
+    back = pq.read_table(path)  # third-party reader proves the layout
+    rt = spark.createDataFrame(back)
+    return rt.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("price_dec") * 100).cast("long").alias("price_cents"),
+    )
+
+
 def _q_stats_minmax_nulls(spark, sf_dir):
     from parquet_spark.functions import minmax_null_stats
 
@@ -649,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_list": _q_interop_parquet_list,
         "interop_parquet_struct": _q_interop_parquet_struct,
         "interop_parquet_dict": _q_interop_parquet_dict,
+        "interop_parquet_decimal": _q_interop_parquet_decimal,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -745,6 +775,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interop_parquet_dict": (
             "SELECT doc_id, lang, source, n_chars FROM documents"
+        ),
+        "interop_parquet_decimal": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS price_cents "
+            "FROM lineitem"
         ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from

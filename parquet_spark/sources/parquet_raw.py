@@ -47,6 +47,7 @@ MAGIC = b"PAR1"
 
 # parquet-format enums (public spec)
 T_BOOLEAN, T_INT32, T_INT64, T_INT96, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
+T_FLBA = 7  # FIXED_LEN_BYTE_ARRAY (decimals, UUIDs)
 REQUIRED, OPTIONAL, REPEATED = 0, 1, 2
 ENC_PLAIN, ENC_PLAIN_DICT, ENC_RLE, ENC_BIT_PACKED, ENC_RLE_DICT = 0, 2, 3, 4, 8
 ENC_DELTA_BP, ENC_DELTA_LEN, ENC_DELTA_BA, ENC_BSS = 5, 6, 7, 9
@@ -54,8 +55,27 @@ CODEC_IDS = {"none": 0, "snappy": 1, "gzip": 2, "lz4": 5, "zstd": 6}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 PAGE_DATA, PAGE_INDEX, PAGE_DICT, PAGE_DATA_V2 = 0, 1, 2, 3
 # ConvertedType enum (public parquet-format spec order)
-CONVERTED_UTF8, CONVERTED_LIST = 0, 3
+CONVERTED_UTF8, CONVERTED_LIST, CONVERTED_DECIMAL = 0, 3, 5
 CONVERTED_UINT_32, CONVERTED_UINT_64 = 13, 14
+
+
+def _decimal_flba_len(precision: int) -> int:
+    """Smallest byte length whose signed range holds 10^precision - 1
+    (the parquet-mr minimal-FLBA sizing for DECIMAL)."""
+    n = 1
+    while 10**precision - 1 > (1 << (8 * n - 1)) - 1:
+        n += 1
+    return n
+
+
+def _phys_of(t: pa.DataType) -> int | None:
+    if pa.types.is_decimal(t) or pa.types.is_fixed_size_binary(t):
+        return T_FLBA
+    return _PA_TO_PHYS.get(t)
+
+
+def _flba_len_of(t: pa.DataType) -> int:
+    return _decimal_flba_len(t.precision) if pa.types.is_decimal(t) else t.byte_width
 
 _PA_TO_PHYS = {
     pa.bool_(): T_BOOLEAN,
@@ -260,6 +280,25 @@ class TCReader:
 def _plain_encode(arr: pa.Array, phys: int) -> tuple[bytes, int]:
     """PLAIN bytes of the non-null values + num_values (incl nulls)."""
     dense = arr.drop_null() if arr.null_count else arr
+    if phys == T_FLBA:
+        n, t = len(dense), dense.type
+        if pa.types.is_decimal(t):
+            # unscaled 128-bit LE words → minimal-length big-endian
+            # two's complement (exact: precision bounds the magnitude)
+            ln = _decimal_flba_len(t.precision)
+            if n:
+                words = np.frombuffer(
+                    dense.buffers()[1], np.uint8, 16 * n, offset=dense.offset * 16
+                ).reshape(n, 16)
+                body = np.ascontiguousarray(words[:, :ln][:, ::-1]).tobytes()
+            else:
+                body = b""
+            return body, len(arr)
+        ln = t.byte_width  # fixed_size_binary: raw bytes as-is
+        if n:
+            raw = np.frombuffer(dense.buffers()[1], np.uint8, ln * n, offset=dense.offset * ln)
+            return raw.tobytes(), len(arr)
+        return b"", len(arr)
     if phys == T_BOOLEAN:
         return plain.encode_bool(np.asarray(dense.cast(pa.bool_()))), len(arr)
     if phys == T_BYTE_ARRAY:
@@ -333,9 +372,9 @@ def _leaf_specs(schema: pa.Schema) -> list[dict]:
         if pa.types.is_struct(f.type):
             for child in f.type:
                 rec(child, path, chain)
-        elif f.type in _PA_TO_PHYS:
+        elif _phys_of(f.type) is not None:
             leaves.append(dict(kind="chain", path=path, chain=chain,
-                               phys=_PA_TO_PHYS[f.type], leaf_type=f.type))
+                               phys=_phys_of(f.type), leaf_type=f.type))
         else:
             raise TypeError(
                 f"unsupported type {f.type} for column {'.'.join(path)!r}"
@@ -345,12 +384,12 @@ def _leaf_specs(schema: pa.Schema) -> list[dict]:
     for field in schema:
         if pa.types.is_list(field.type):
             elem = field.type.value_field
-            if elem.type not in _PA_TO_PHYS:
+            if _phys_of(elem.type) is None:
                 raise TypeError(
                     f"unsupported list element type {elem.type} for column {field.name!r}"
                 )
             leaves.append(dict(kind="list", path=[field.name], field=field,
-                               elem=elem, phys=_PA_TO_PHYS[elem.type]))
+                               elem=elem, phys=_phys_of(elem.type)))
         else:
             rec(field, [], [])
     return leaves
@@ -414,22 +453,29 @@ def _emit_schema_elem(w: "TCWriter", field: pa.Field) -> None:
         w.binary(4, "list")
         w.i32(5, 1)
         w.elem_struct_end()
-        w.elem_struct_begin()
-        w.i32(1, _PA_TO_PHYS[elem.type])
-        w.i32(3, OPTIONAL if elem.nullable else REQUIRED)
-        w.binary(4, "element")
-        conv = _PA_CONVERTED.get(elem.type)
+        _emit_primitive_elem(w, "element", elem.type, elem.nullable)
+        return
+    _emit_primitive_elem(w, field.name, field.type, field.nullable)
+
+
+def _emit_primitive_elem(w: "TCWriter", name: str, t: pa.DataType, nullable: bool) -> None:
+    """One primitive SchemaElement (ascending field ids: 1 type,
+    2 type_length, 3 repetition, 4 name, 6 converted_type, 7 scale,
+    8 precision). Decimals emit FLBA with the parquet-mr minimal length."""
+    w.elem_struct_begin()
+    w.i32(1, _phys_of(t))
+    if _phys_of(t) == T_FLBA:
+        w.i32(2, _flba_len_of(t))
+    w.i32(3, OPTIONAL if nullable else REQUIRED)
+    w.binary(4, name)
+    if pa.types.is_decimal(t):
+        w.i32(6, CONVERTED_DECIMAL)
+        w.i32(7, t.scale)
+        w.i32(8, t.precision)
+    else:
+        conv = _PA_CONVERTED.get(t)
         if conv is not None:
             w.i32(6, conv)
-        w.elem_struct_end()
-        return
-    w.elem_struct_begin()
-    w.i32(1, _PA_TO_PHYS[field.type])
-    w.i32(3, OPTIONAL if field.nullable else REQUIRED)
-    w.binary(4, field.name)
-    conv = _PA_CONVERTED.get(field.type)
-    if conv is not None:
-        w.i32(6, conv)
     w.elem_struct_end()
 
 
@@ -651,21 +697,27 @@ def write_file(
 # ================================================================= reader
 
 
-def _plain_decode(body: memoryview, n: int, phys: int) -> pa.Array:
+def _plain_decode(body: memoryview, n: int, phys: int, tlen: int = 0) -> pa.Array:
     if phys == T_BOOLEAN:
         return pa.array(plain.decode_bool(body, n))
     if phys == T_BYTE_ARRAY:
         return pa.array(plain.decode_strings_ref(bytes(body), n), pa.binary())
+    if phys == T_FLBA:
+        if tlen <= 0:
+            raise ValueError("FIXED_LEN_BYTE_ARRAY column without type_length in footer")
+        return pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(tlen), n, [None, pa.py_buffer(bytes(body[: n * tlen]))]
+        )
     npdt = _PHYS_NP[phys]
     return pa.array(plain.decode_numeric(body, n, np.dtype(npdt)))
 
 
 def _decode_values(body: memoryview, off: int, n: int, phys: int, enc: int,
-                   dict_vals: pa.Array | None, name: str) -> pa.Array:
+                   dict_vals: pa.Array | None, name: str, tlen: int = 0) -> pa.Array:
     """Value-section dispatch shared by flat and repeated leaves: PLAIN,
     dictionary indices, the DELTA_* family, and BYTE_STREAM_SPLIT."""
     if enc == ENC_PLAIN:
-        return _plain_decode(body[off:], n, phys)
+        return _plain_decode(body[off:], n, phys, tlen)
     if enc in (ENC_PLAIN_DICT, ENC_RLE_DICT):
         return _dict_decode(body, off, n, dict_vals, name)
     from parquet_spark.codecs import pq_delta
@@ -748,11 +800,13 @@ def _parse_schema(elems: list[dict]) -> list[dict]:
                 )
             # bare repeated leaf: a list with no null/empty distinction
             return dict(name=name, kind="list", phys=e[1], elem_conv=e.get(6),
+                        elem_tlen=e.get(2), elem_scale=e.get(7, 0), elem_prec=e.get(8),
                         d_list=0, d_entry=1, d_valid=1, elem_opt=False, outer_opt=False)
         if nchild == 0:
             opt = rep_t == OPTIONAL
             max_def = depth_opt + (1 if opt else 0)
             return dict(name=name, kind="leaf", phys=e[1], conv=e.get(6), opt=opt,
+                        tlen=e.get(2), scale=e.get(7, 0), prec=e.get(8),
                         max_def=max_def, path=dotted_parent)
         outer_opt = rep_t == OPTIONAL
         if nchild == 1 and elems[idx].get(3, REQUIRED) == REPEATED:
@@ -767,6 +821,7 @@ def _parse_schema(elems: list[dict]) -> list[dict]:
             if mid_child == 0:
                 # 2-level list: repeated leaf directly under the outer group
                 return dict(name=name, kind="list", phys=mid[1], elem_conv=mid.get(6),
+                            elem_tlen=mid.get(2), elem_scale=mid.get(7, 0), elem_prec=mid.get(8),
                             d_list=d_list, d_entry=d_list + 1, d_valid=d_list + 1,
                             elem_opt=False, outer_opt=outer_opt)
             if mid_child != 1:
@@ -777,6 +832,7 @@ def _parse_schema(elems: list[dict]) -> list[dict]:
                 raise NotImplementedError(f"column {name!r}: nested lists not supported")
             elem_opt = leaf.get(3, REQUIRED) == OPTIONAL
             return dict(name=name, kind="list", phys=leaf[1], elem_conv=leaf.get(6),
+                        elem_tlen=leaf.get(2), elem_scale=leaf.get(7, 0), elem_prec=leaf.get(8),
                         d_list=d_list, d_entry=d_list + 1,
                         d_valid=d_list + 1 + (1 if elem_opt else 0),
                         elem_opt=elem_opt, outer_opt=outer_opt)
@@ -810,14 +866,54 @@ def _struct_leaves(node: dict) -> list[dict]:
     return out
 
 
-def _convert_values(vals: pa.Array, conv: int | None) -> pa.Array:
+def _convert_values(vals: pa.Array, conv: int | None, scale: int = 0,
+                    prec: int | None = None) -> pa.Array:
     if conv == CONVERTED_UTF8 and vals.type == pa.binary():
         return vals.cast(pa.string())
     if conv == CONVERTED_UINT_32 and vals.type == pa.int32():
         return vals.view(pa.uint32())
     if conv == CONVERTED_UINT_64 and vals.type == pa.int64():
         return vals.view(pa.uint64())
+    if conv == CONVERTED_DECIMAL and prec:
+        return _to_decimal(vals, prec, scale)
     return vals
+
+
+def _to_decimal(vals: pa.Array, prec: int, scale: int) -> pa.Array:
+    """Reinterpret unscaled stored values (INT32/INT64 or big-endian FLBA —
+    the three physical layouts the spec allows for DECIMAL) as
+    decimal128(prec, scale). Null-aware: validity carries over; null slots'
+    payload words are zeroed."""
+    n = len(vals)
+    mask = np.asarray(vals.is_null()) if vals.null_count else None
+    words = np.zeros((n, 16), np.uint8)
+    if pa.types.is_fixed_size_binary(vals.type):
+        ln = vals.type.byte_width
+        if n:
+            v = vals.fill_null(b"\x00" * ln) if mask is not None else vals
+            raw = np.frombuffer(
+                v.buffers()[1], np.uint8, n * ln, offset=v.offset * ln
+            ).reshape(n, ln)
+            words[:, :ln] = raw[:, ::-1]  # big-endian → little-endian
+            neg = (raw[:, 0] & 0x80).astype(bool)
+            if mask is not None:
+                neg &= ~mask
+            words[neg, ln:] = 0xFF  # sign extension
+    else:
+        iv = np.asarray(
+            (vals.fill_null(0) if mask is not None else vals).cast(pa.int64()), np.int64
+        )
+        w64 = words.view(np.uint64).reshape(n, 2)
+        w64[:, 0] = iv.view(np.uint64)
+        w64[:, 1] = np.where(iv < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+    validity = (
+        None if mask is None
+        else pa.py_buffer(np.packbits(~mask, bitorder="little").tobytes())
+    )
+    return pa.Array.from_buffers(
+        pa.decimal128(prec, scale), n,
+        [validity, pa.py_buffer(np.ascontiguousarray(words).tobytes())],
+    )
 
 
 def _assemble_list(rep: np.ndarray, defs: np.ndarray, dense: pa.Array, info: dict) -> pa.ListArray:
@@ -890,6 +986,11 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
             if name not in want_set:
                 continue
             phys, n_total, codec_id = cm[1], cm[5], cm[4]
+            info_c = leaf_of.get(dotted) or by_name[name]
+            tlen_c = int(
+                (info_c.get("elem_tlen") if info_c["kind"] == "list" else info_c.get("tlen"))
+                or 0
+            )
             codec_name = CODEC_NAMES.get(codec_id)
             if codec_name is None:
                 raise NotImplementedError(f"compression codec id {codec_id}")
@@ -929,7 +1030,7 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                         dph = hdr[7]
                         if dph[2] not in (ENC_PLAIN, ENC_PLAIN_DICT):
                             raise NotImplementedError(f"dictionary page encoding {dph[2]}")
-                        dict_vals = _plain_decode(body, dph[1], phys)
+                        dict_vals = _plain_decode(body, dph[1], phys, tlen_c)
                         continue
                     if hdr[1] != PAGE_DATA:
                         raise NotImplementedError(f"page type {hdr[1]}")
@@ -949,8 +1050,9 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     defs, consumed = rle.decode(body[off:], n_vals, _bit_width(info["d_valid"]))
                     off += consumed
                     n_dense = int((defs == info["d_valid"]).sum())
-                    dense = _decode_values(body, off, n_dense, phys, enc, dict_vals, name)
-                    dense = _convert_values(dense, info["elem_conv"])
+                    dense = _decode_values(body, off, n_dense, phys, enc, dict_vals, name, tlen_c)
+                    dense = _convert_values(dense, info["elem_conv"],
+                                            info.get("elem_scale", 0), info.get("elem_prec"))
                     arrays.setdefault(name, []).append(_assemble_list(reps, defs, dense, info))
                     got += n_vals
                     continue
@@ -969,14 +1071,16 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     if not bool((levels == max_def).all()):
                         validity = levels == max_def
                 n_dense = n_vals if validity is None else int(validity.sum())
-                vals = _decode_values(body, off, n_dense, phys, enc, dict_vals, name)
+                vals = _decode_values(body, off, n_dense, phys, enc, dict_vals, name, tlen_c)
                 if validity is not None:
                     # null scatter: take() with null indices yields nulls
                     idx = np.zeros(n_vals, dtype=np.int64)
                     idx[validity] = np.arange(n_dense)
                     vals = vals.take(pa.array(idx, pa.int64(), mask=~validity))
                 key = dotted if info["kind"] == "struct_leaf" else name
-                arrays.setdefault(key, []).append(_convert_values(vals, info["conv"]))
+                arrays.setdefault(key, []).append(
+                    _convert_values(vals, info["conv"], info.get("scale", 0), info.get("prec"))
+                )
                 got += n_vals
 
     out = []
@@ -1004,6 +1108,15 @@ def _empty_type(info: dict) -> pa.DataType:
             for c in info["children"]
         ])
     conv = info.get("elem_conv") if info["kind"] == "list" else info.get("conv")
+    if conv == CONVERTED_DECIMAL:
+        prec = info.get("elem_prec") if info["kind"] == "list" else info.get("prec")
+        scale = (info.get("elem_scale") if info["kind"] == "list" else info.get("scale")) or 0
+        t = pa.decimal128(prec, scale)
+        return pa.list_(t) if info["kind"] == "list" else t
+    if info["phys"] == T_FLBA:
+        tlen = info.get("elem_tlen") if info["kind"] == "list" else info.get("tlen")
+        t = pa.binary(int(tlen or 0))
+        return pa.list_(t) if info["kind"] == "list" else t
     if info["phys"] == T_BYTE_ARRAY:
         t = pa.string() if conv == CONVERTED_UTF8 else pa.binary()
     elif conv == CONVERTED_UINT_32:

@@ -506,3 +506,64 @@ def test_delta_bp_wraparound_and_extremes():
                    column_encoding={"v": "DELTA_BINARY_PACKED"}, data_page_version="1.0")
     got = praw.read_file(p)
     assert got.column("v").combine_chunks().cast(pa.int64()).equals(vals)
+
+
+# --------------------------------------------------------- DECIMAL / FLBA
+
+
+def _decimal_table(n: int = 3000) -> pa.Table:
+    from decimal import Decimal
+
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "price": pa.array(
+                [None if i % 11 == 0 else Decimal(i) / Decimal(100) for i in range(n)],
+                pa.decimal128(12, 2),
+            ),
+            "big": pa.array([Decimal(2**90 + i * 7) for i in range(n)], pa.decimal128(38, 4)),
+            "uid": pa.array([bytes([i % 256] * 16) for i in range(n)], pa.binary(16)),
+        }
+    )
+
+
+@pytest.mark.parametrize("compression", ["none", "snappy"])
+def test_decimal_flba_write_all_readers(tmp_path, compression):
+    """DECIMAL as minimal-length big-endian FLBA + fixed_size_binary
+    passthrough: pyarrow, duckdb, and our own reader agree element-exact."""
+    import duckdb
+
+    t = _decimal_table()
+    p = str(tmp_path / "dec.parquet")
+    praw.write_file(p, t, compression=compression, page_rows=800)
+    assert pq.read_table(p).equals(t)
+    got_dd = duckdb.query(f"SELECT * FROM read_parquet('{p}')").arrow()
+    assert got_dd.cast(t.schema).equals(t)
+    assert praw.read_file(p).cast(t.schema).equals(t)
+    md = pq.ParquetFile(p).metadata.schema
+    assert "Decimal(precision=12, scale=2)" in str(md)  # annotation landed
+
+
+def test_decimal_foreign_reads(tmp_path):
+    """pyarrow writes decimals as FLBA(16); duckdb packs by precision into
+    INT32/INT64/FLBA — all three physical layouts must decode."""
+    import duckdb
+
+    t = _decimal_table()
+    p1 = str(tmp_path / "pa_dec.parquet")
+    pq.write_table(t, p1, data_page_version="1.0", compression="snappy")
+    assert praw.read_file(p1).cast(t.schema).equals(t)
+    # v2 pages too
+    p2 = str(tmp_path / "pa_dec_v2.parquet")
+    pq.write_table(t, p2, data_page_version="2.0", compression="snappy")
+    assert praw.read_file(p2).cast(t.schema).equals(t)
+    p3 = str(tmp_path / "dd_dec.parquet")
+    con = duckdb.connect()
+    con.register("t", t)
+    con.query(
+        f"COPY (SELECT id, price, CAST(id AS DECIMAL(9,3)) AS d32, big FROM t) "
+        f"TO '{p3}' (FORMAT PARQUET)"
+    )
+    want = con.query("SELECT id, price, CAST(id AS DECIMAL(9,3)) AS d32, big FROM t").arrow()
+    got = praw.read_file(p3).cast(want.schema)
+    assert got.equals(want.combine_chunks())
