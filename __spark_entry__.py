@@ -283,6 +283,23 @@ def _q_interop_parquet_list(spark, sf_dir):
     ).withColumn("idx", F.col("idx").cast("int"))
 
 
+def _q_interop_parquet_events(spark, sf_dir):
+    """Distributed standards-Parquet export with temporal columns: every
+    partition writes its own file via the raw writer inside a mapInArrow
+    task (export_parquet — no driver collect), timestamps land as
+    TIMESTAMP_MICROS-annotated INT64 and the low-cardinality event_type
+    dict-encodes; Spark's STOCK parquet reader (third-party to
+    parquet_raw) reads the directory back for the oracle comparison."""
+    import tempfile
+
+    from parquet_spark.sources.parquet_raw import export_parquet
+
+    df = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="psq-interop-") + "/events"
+    export_parquet(df, out).collect()  # consuming the summary runs the export
+    return spark.read.parquet(out).select("event_id", "ts", "event_type", "value")
+
+
 def _q_roundtrip_bloom_pruned(spark, sf_dir):
     """Bloom-filter block pruning on string equality (stats/bloom.py):
     min/max can't prune '=' probes on a high-cardinality unsorted key
@@ -679,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_struct": _q_interop_parquet_struct,
         "interop_parquet_dict": _q_interop_parquet_dict,
         "interop_parquet_decimal": _q_interop_parquet_decimal,
+        "interop_parquet_events": _q_interop_parquet_events,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -780,6 +798,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS price_cents "
             "FROM lineitem"
+        ),
+        "interop_parquet_events": (
+            "SELECT event_id, ts, event_type, value FROM events"
         ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from

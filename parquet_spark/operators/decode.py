@@ -146,6 +146,7 @@ def read_encoded(
     columns: list[str] | None = None,
     where: tuple | None = None,
     verify: bool = False,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Open an encoded table (data + snapshot) and return the decoded
     DataFrame — the engine's `spark.read.parquet` analogue.
@@ -158,10 +159,15 @@ def read_encoded(
     row-group stats skip the payload IO entirely, the analogue of the
     reference's page-statistics metadata (/root/reference/parquet.go:
     164-169) actually being *consumed*. The exact row-level filter is
-    applied after decode, so results equal decode-then-filter."""
+    applied after decode, so results equal decode-then-filter.
+
+    `as_of=<sequence>` time-travels to a retained historical snapshot
+    (see operators.encode.list_snapshots / maintain.expire_snapshots):
+    the read plan resolves that snapshot's generation dirs, so the data
+    it sees is exactly the committed state at that sequence."""
     from pyspark.sql import functions as F
 
-    snap = read_snapshot(path)
+    snap = read_snapshot(path, as_of=as_of)
     if snap is None:
         # a crash between compact_table's two swap renames parks the
         # complete old table at <path>.old — recover it transparently
@@ -175,6 +181,11 @@ def read_encoded(
     # the snapshot names the live generation dir — after a compaction
     # commit (rename-less pointer swap) it is not necessarily "data"
     blocks_df = spark.read.parquet(os.path.join(path, snap.get("data_dir", "data")))
+    if as_of is not None and snap.get("max_batch") is not None and "batch" in blocks_df.columns:
+        # batch-layout tables append into the SAME generation dir; the
+        # historical snapshot's high-water mark scopes the time travel to
+        # the batches committed at that sequence
+        blocks_df = blocks_df.where(F.col("batch") <= int(snap["max_batch"]))
     if where is not None:
         # one (col, op, value) triple or a list of them (AND semantics) —
         # every predicate contributes block pruning AND a row-level filter
@@ -222,10 +233,10 @@ def read_encoded(
     return decode_table(blocks_df, schema, columns, verify=verify)
 
 
-def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+def read_manifest(spark: SparkSession, path: str, as_of: int | None = None) -> DataFrame:
     from pyspark.sql.utils import AnalysisException
 
-    snap = read_snapshot(path) or {}
+    snap = read_snapshot(path, as_of=as_of) or {}
     man_dir = os.path.join(path, snap.get("manifest_dir", "manifest"))
     try:
         return spark.read.parquet(man_dir)

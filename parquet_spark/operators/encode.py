@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 import zlib
 
 import numpy as np
@@ -316,11 +317,23 @@ def _snapshot_path(path: str) -> str:
 def write_snapshot(path: str, schema_json: str, columns: list[str], fingerprint: str, extra: dict | None = None) -> None:
     """Publish the table's snapshot pointer. The write is all-or-nothing
     on every supported store (tablefs), so replacing a snapshot is an
-    atomic pointer swap — the commit primitive compaction relies on."""
+    atomic pointer swap — the commit primitive compaction relies on.
+
+    Every commit also lands an immutable copy in `snapshots/` keyed by a
+    monotone sequence number (the Iceberg-style snapshot log): readers can
+    time-travel with read_encoded(as_of=seq) for as long as the sequence
+    is retained (maintain.expire_snapshots is the retention knob). The
+    history copy is written BEFORE the pointer swap, so a crash between
+    the two leaves an unreferenced history entry the next commit simply
+    overwrites — never a live pointer without its history."""
     from parquet_spark import tablefs
 
+    prev = read_snapshot(path)
+    seq = int(prev.get("sequence", 0)) + 1 if prev else 1
     snap = {
         "version": 1,
+        "sequence": seq,
+        "parent_sequence": prev.get("sequence") if prev else None,
         "schema": json.loads(schema_json),
         "columns": columns,
         "fingerprint": fingerprint,
@@ -328,17 +341,49 @@ def write_snapshot(path: str, schema_json: str, columns: list[str], fingerprint:
     }
     if extra:
         snap.update(extra)
-    tablefs.mkdirs(path)
-    tablefs.write_bytes_atomic(_snapshot_path(path), json.dumps(snap).encode())
+    payload = json.dumps(snap).encode()
+    tablefs.mkdirs(os.path.join(path, "snapshots"))
+    tablefs.write_bytes_atomic(os.path.join(path, "snapshots", f"snap-{seq:08d}.json"), payload)
+    tablefs.write_bytes_atomic(_snapshot_path(path), payload)
 
 
-def read_snapshot(path: str) -> dict | None:
+def read_snapshot(path: str, as_of: int | None = None) -> dict | None:
+    """Current snapshot, or — with `as_of` — the retained historical
+    snapshot with that sequence number (time travel)."""
     from parquet_spark import tablefs
 
+    if as_of is not None:
+        try:
+            return json.loads(
+                tablefs.read_bytes(os.path.join(path, "snapshots", f"snap-{int(as_of):08d}.json"))
+            )
+        except FileNotFoundError:
+            avail = [s["sequence"] for s in list_snapshots(path)]
+            raise ValueError(
+                f"snapshot sequence {as_of} not retained under {path}; "
+                f"available: {avail or 'none'}"
+            ) from None
     try:
         return json.loads(tablefs.read_bytes(_snapshot_path(path)))
     except FileNotFoundError:
         return None
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """The retained snapshot log, oldest first. Legacy tables written
+    before the log existed report just their live snapshot."""
+    from parquet_spark import tablefs
+
+    sdir = os.path.join(path, "snapshots")
+    out = []
+    if tablefs.is_dir(sdir):
+        for name in sorted(tablefs.listdir(sdir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                out.append(json.loads(tablefs.read_bytes(os.path.join(sdir, name))))
+    if not out:
+        cur = read_snapshot(path)
+        return [cur] if cur else []
+    return out
 
 
 def dataset_fingerprint(df: DataFrame, explicit: str | None = None) -> str:
@@ -648,6 +693,14 @@ def write_encoded(
         # data may live under data-<gen>), not the caller's defaults
         data_dirname = snap.get("data_dir", data_dirname)
         manifest_dirname = snap.get("manifest_dir", manifest_dirname)
+    elif snap is not None and data_dirname == snap.get("data_dir", "data"):
+        # rewriting an existing table with default dir names: allocate a
+        # fresh generation instead of overwriting the live one in place —
+        # copy-on-write keeps every retained snapshot sequence readable
+        # (read_encoded(as_of=...)); superseded generations are reclaimed
+        # by maintain.expire_snapshots, never silently destroyed here
+        gen = uuid.uuid4().hex[:8]
+        data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
     data_dir = os.path.join(path, data_dirname)
     man_dir = os.path.join(path, manifest_dirname)
     resuming = bool(snap and snap.get("fingerprint") == fp and tablefs.exists(data_dir))
@@ -734,8 +787,6 @@ def write_encoded(
         # of the data dir. Data remains the source of truth: a crash before
         # publish leaves the manifest behind, and the resume heal below
         # re-derives the missing entries from the data's meta column.
-        import uuid
-
         pending = os.path.join(man_dir, f"_pending-{uuid.uuid4().hex[:8]}")
         tablefs.mkdirs(pending)
         blocks = encode_table(

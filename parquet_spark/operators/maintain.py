@@ -73,15 +73,64 @@ def recover_table(path: str) -> bool:
     return False
 
 
+def _retained_generation_dirs(path: str) -> set[str]:
+    """Generation dirs referenced by the live snapshot OR any retained
+    history sequence — those must survive a sweep so
+    read_encoded(as_of=...) keeps working until snapshots are expired."""
+    from parquet_spark.operators.encode import list_snapshots
+
+    live: set[str] = set()
+    for s in list_snapshots(path) + list(filter(None, [read_snapshot(path)])):
+        live.add(s.get("data_dir", "data"))
+        live.add(s.get("manifest_dir", "manifest"))
+    return live
+
+
 def _sweep_orphan_generations(path: str, snap: dict) -> None:
-    """Delete generation dirs not referenced by the live snapshot —
-    leftovers of crashed or superseded compactions."""
-    live = {snap.get("data_dir", "data"), snap.get("manifest_dir", "manifest")}
+    """Delete generation dirs referenced by NO retained snapshot —
+    leftovers of crashed compactions. Generations still reachable through
+    the snapshot log are kept (time travel); use expire_snapshots to
+    reclaim them."""
+    live = _retained_generation_dirs(path)
+    live.update({snap.get("data_dir", "data"), snap.get("manifest_dir", "manifest")})
     for entry, entry_is_dir in tablefs.list_infos(path):
         if not entry_is_dir or entry in live:
             continue
         if entry == "data" or entry.startswith("data-") or entry == "manifest" or entry.startswith("manifest-"):
             tablefs.delete_dir(os.path.join(path, entry))
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Retention: drop all but the newest `keep_last` snapshot sequences
+    (the live one is always kept), then reclaim generation dirs no
+    retained sequence references — the Iceberg expire-snapshots analogue
+    and the ONLY operation that deletes historical data. Returns
+    {expired: [seq...], kept: [seq...], removed_dirs: [...]}."""
+    from parquet_spark.operators.encode import list_snapshots
+
+    cur = read_snapshot(path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot.json under {path}")
+    snaps = list_snapshots(path)
+    keep_last = max(int(keep_last), 1)
+    keep_seqs = {s["sequence"] for s in snaps[-keep_last:] if "sequence" in s}
+    if cur.get("sequence") is not None:
+        keep_seqs.add(cur["sequence"])
+    expired = []
+    for s in snaps:
+        seq = s.get("sequence")
+        if seq is not None and seq not in keep_seqs:
+            tablefs.delete_file(os.path.join(path, "snapshots", f"snap-{seq:08d}.json"))
+            expired.append(seq)
+    removed = []
+    live = _retained_generation_dirs(path)
+    for entry, entry_is_dir in tablefs.list_infos(path):
+        if not entry_is_dir or entry in live:
+            continue
+        if entry == "data" or entry.startswith("data-") or entry == "manifest" or entry.startswith("manifest-"):
+            tablefs.delete_dir(os.path.join(path, entry))
+            removed.append(entry)
+    return {"expired": expired, "kept": sorted(keep_seqs), "removed_dirs": sorted(removed)}
 
 
 def compact_table(

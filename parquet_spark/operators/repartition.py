@@ -35,6 +35,13 @@ def plan_salted_buckets(
     target_partitions, proportional to per-source weight. A single
     [(None, 0, target_partitions)] entry means "no usable source column —
     hash everything uniformly"."""
+    # plain-name columns absent from the frame degrade WITHOUT round-
+    # tripping an AnalysisException through the JVM (which logs a scary
+    # ERROR even when caught); expressions still take the try/except path
+    if weight_col is not None and weight_col.isidentifier() and weight_col not in df.columns:
+        weight_col = None
+    if source_col.isidentifier() and source_col not in df.columns:
+        return [(None, 0, target_partitions)]
     try:
         w = F.sum(F.expr(weight_col)).alias("w") if weight_col else F.count("*").alias("w")
         rows = df.groupBy(F.expr(source_col).cast("string").alias(_SRC)).agg(w).collect()
@@ -66,11 +73,14 @@ def with_salted_bucket(
     """Attach the deterministic bucket id: offset(source) +
     pmod(xxhash64(salt_key), n_salts(source))."""
     spark = df.sparkSession
-    try:
-        df.select(F.expr(salt_key))
-        salt = F.xxhash64(F.expr(salt_key))
-    except AnalysisException:
+    if salt_key.isidentifier() and salt_key not in df.columns:
         salt = F.xxhash64(*[F.col(c) for c in df.columns])
+    else:
+        try:
+            df.select(F.expr(salt_key))
+            salt = F.xxhash64(F.expr(salt_key))
+        except AnalysisException:
+            salt = F.xxhash64(*[F.col(c) for c in df.columns])
     if len(plan) == 1 and plan[0][0] is None:
         # unweighted fallback: uniform hash over target buckets
         return df.withColumn(bucket_col, F.pmod(salt, F.lit(plan[0][2])).cast("int"))

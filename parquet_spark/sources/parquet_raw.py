@@ -55,7 +55,8 @@ CODEC_IDS = {"none": 0, "snappy": 1, "gzip": 2, "lz4": 5, "zstd": 6}
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 PAGE_DATA, PAGE_INDEX, PAGE_DICT, PAGE_DATA_V2 = 0, 1, 2, 3
 # ConvertedType enum (public parquet-format spec order)
-CONVERTED_UTF8, CONVERTED_LIST, CONVERTED_DECIMAL = 0, 3, 5
+CONVERTED_UTF8, CONVERTED_LIST, CONVERTED_DECIMAL, CONVERTED_DATE = 0, 3, 5, 6
+CONVERTED_TS_MILLIS, CONVERTED_TS_MICROS = 9, 10
 CONVERTED_UINT_32, CONVERTED_UINT_64 = 13, 14
 
 
@@ -71,7 +72,15 @@ def _decimal_flba_len(precision: int) -> int:
 def _phys_of(t: pa.DataType) -> int | None:
     if pa.types.is_decimal(t) or pa.types.is_fixed_size_binary(t):
         return T_FLBA
+    if pa.types.is_timestamp(t) and t.unit in ("us", "ms"):
+        return T_INT64  # naive or tz-aware: epoch ints either way
     return _PA_TO_PHYS.get(t)
+
+
+def _conv_of(t: pa.DataType) -> int | None:
+    if pa.types.is_timestamp(t):
+        return CONVERTED_TS_MICROS if t.unit == "us" else CONVERTED_TS_MILLIS
+    return _PA_CONVERTED.get(t)
 
 
 def _flba_len_of(t: pa.DataType) -> int:
@@ -90,11 +99,18 @@ _PA_TO_PHYS = {
     # the unsigned semantics (ref cmd/parquetgen/gen/template.go:464-481)
     pa.uint32(): T_INT32,
     pa.uint64(): T_INT64,
+    # temporal: epoch ints + the matching converted-type annotation
+    pa.timestamp("us"): T_INT64,
+    pa.timestamp("ms"): T_INT64,
+    pa.date32(): T_INT32,
 }
 _PA_CONVERTED = {
     pa.string(): CONVERTED_UTF8,
     pa.uint32(): CONVERTED_UINT_32,
     pa.uint64(): CONVERTED_UINT_64,
+    pa.timestamp("us"): CONVERTED_TS_MICROS,
+    pa.timestamp("ms"): CONVERTED_TS_MILLIS,
+    pa.date32(): CONVERTED_DATE,
 }
 _PHYS_NP = {T_INT32: np.int32, T_INT64: np.int64, T_FLOAT: np.float32, T_DOUBLE: np.float64}
 
@@ -473,7 +489,7 @@ def _emit_primitive_elem(w: "TCWriter", name: str, t: pa.DataType, nullable: boo
         w.i32(7, t.scale)
         w.i32(8, t.precision)
     else:
-        conv = _PA_CONVERTED.get(t)
+        conv = _conv_of(t)
         if conv is not None:
             w.i32(6, conv)
     w.elem_struct_end()
@@ -876,6 +892,12 @@ def _convert_values(vals: pa.Array, conv: int | None, scale: int = 0,
         return vals.view(pa.uint64())
     if conv == CONVERTED_DECIMAL and prec:
         return _to_decimal(vals, prec, scale)
+    if conv == CONVERTED_TS_MICROS and vals.type == pa.int64():
+        return vals.view(pa.timestamp("us"))
+    if conv == CONVERTED_TS_MILLIS and vals.type == pa.int64():
+        return vals.view(pa.timestamp("ms"))
+    if conv == CONVERTED_DATE and vals.type == pa.int32():
+        return vals.view(pa.date32())
     return vals
 
 
@@ -1108,6 +1130,12 @@ def _empty_type(info: dict) -> pa.DataType:
             for c in info["children"]
         ])
     conv = info.get("elem_conv") if info["kind"] == "list" else info.get("conv")
+    if conv == CONVERTED_TS_MICROS:
+        return pa.list_(pa.timestamp("us")) if info["kind"] == "list" else pa.timestamp("us")
+    if conv == CONVERTED_TS_MILLIS:
+        return pa.list_(pa.timestamp("ms")) if info["kind"] == "list" else pa.timestamp("ms")
+    if conv == CONVERTED_DATE:
+        return pa.list_(pa.date32()) if info["kind"] == "list" else pa.date32()
     if conv == CONVERTED_DECIMAL:
         prec = info.get("elem_prec") if info["kind"] == "list" else info.get("prec")
         scale = (info.get("elem_scale") if info["kind"] == "list" else info.get("scale")) or 0

@@ -115,18 +115,25 @@ class StreamingEncoder:
         ).withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(self.path, self.manifest_dirname, f"batch={batch_id}")
         )
-        if not self._snapshot_written:
-            write_snapshot(
-                self.path,
-                batch_df.schema.json(),
-                columns,
-                f"stream-{os.path.basename(self.path)}",
-                {
-                    "streaming": True, "block_rows": self.block_rows,
-                    "data_dir": self.data_dirname, "manifest_dir": self.manifest_dirname,
-                },
-            )
-            self._snapshot_written = True
+        # snapshot per committed batch: the sequence log is what makes
+        # read_encoded(as_of=...) meaningful on batch/streaming tables.
+        # max_batch is monotone even across checkpoint replays (a replayed
+        # old batch must not regress the visible high-water mark).
+        from parquet_spark.operators.encode import read_snapshot
+
+        prev = read_snapshot(self.path) or {}
+        write_snapshot(
+            self.path,
+            batch_df.schema.json(),
+            columns,
+            f"stream-{os.path.basename(self.path)}",
+            {
+                "streaming": True, "block_rows": self.block_rows,
+                "data_dir": self.data_dirname, "manifest_dir": self.manifest_dirname,
+                "max_batch": max(int(prev.get("max_batch", -1)), int(batch_id)),
+            },
+        )
+        self._snapshot_written = True
 
 
 def read_encoded_stream_output(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:

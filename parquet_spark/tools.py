@@ -45,6 +45,18 @@ def cmd_snapshot(path: str) -> None:
     print(json.dumps(snap))
 
 
+def cmd_snapshots(path: str) -> None:
+    """One JSON line per retained snapshot sequence (the time-travel log)."""
+    from parquet_spark.operators.encode import list_snapshots
+
+    for s in list_snapshots(path):
+        print(json.dumps({
+            "sequence": s.get("sequence"), "parent": s.get("parent_sequence"),
+            "created_unix": s.get("created_unix"), "data_dir": s.get("data_dir", "data"),
+            "max_batch": s.get("max_batch"), "fingerprint": s.get("fingerprint"),
+        }))
+
+
 def cmd_metadata(path: str) -> None:
     """Per-column rollup: codec mix, raw/encoded bytes, ratio, null counts."""
     from pyspark.sql import functions as F
@@ -139,12 +151,14 @@ def cmd_parquet_meta(path: str) -> None:
 
 
 def main(argv: list[str]) -> None:
-    if len(argv) < 2 or argv[0] not in ("snapshot", "metadata", "blocks", "verify", "parquet-meta"):
+    if len(argv) < 2 or argv[0] not in ("snapshot", "snapshots", "metadata", "blocks", "verify", "parquet-meta"):
         print(__doc__)
         raise SystemExit(2)
     cmd, path = argv[0], argv[1]
     if cmd == "snapshot":
         cmd_snapshot(path)
+    elif cmd == "snapshots":
+        cmd_snapshots(path)
     elif cmd == "metadata":
         cmd_metadata(path)
     elif cmd == "verify":

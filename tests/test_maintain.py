@@ -3,6 +3,7 @@ rewritten at full block size with identical content."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -51,8 +52,9 @@ def test_compact_noop_when_already_full(spark, tmp_path):
 def test_compact_commits_by_snapshot_pointer_swap(spark, tmp_path):
     """Compaction must commit rename-less: the rewrite lands in fresh
     generation dirs and ONE atomic snapshot write swaps the pointer —
-    no directory renames (the scheme an object store can execute). Old
-    generations are swept after commit."""
+    no directory renames (the scheme an object store can execute). The
+    superseded generation is RETAINED for time travel (snapshot log);
+    expire_snapshots is the explicit reclaim."""
     import json
     import os
 
@@ -74,7 +76,14 @@ def test_compact_commits_by_snapshot_pointer_swap(spark, tmp_path):
     assert snap["manifest_dir"].startswith("manifest-")
     entries = set(os.listdir(path))
     assert snap["data_dir"] in entries and snap["manifest_dir"] in entries
-    assert "data" not in entries and "manifest" not in entries  # swept
+    # the old generation is retained for as_of reads until expiry
+    assert "data" in entries and "manifest" in entries
+    assert _crc(read_encoded(spark, path)) == orig_crc
+    from parquet_spark.operators.maintain import expire_snapshots
+
+    out = expire_snapshots(path, keep_last=1)
+    entries = set(os.listdir(path))
+    assert "data" not in entries and "manifest" not in entries  # reclaimed
     assert _crc(read_encoded(spark, path)) == orig_crc
 
 
@@ -157,9 +166,13 @@ def test_append_after_compaction_targets_live_generation(spark, tmp_path):
     assert read_encoded(spark, path).count() == 500
     with pytest.raises(ValueError, match="flat"):
         append_encoded(sequences_df(spark, 50, seed=43, n_partitions=1), path)
-    # nothing leaked into a stale literal 'data/' dir
+    # the pre-compaction generation is retained for time travel; after
+    # expiry nothing is left in a stale literal 'data/' dir
     import os
 
+    from parquet_spark.operators.maintain import expire_snapshots
+
+    expire_snapshots(path, keep_last=1)
     assert not os.path.exists(os.path.join(path, "data"))
     assert read_encoded(spark, path).count() == 500
 
@@ -180,3 +193,64 @@ def test_recover_table_after_interrupted_swap(spark, tmp_path):
     assert read_encoded(spark, path).count() == 500
     assert os.path.exists(os.path.join(path, "snapshot.json"))
     assert not os.path.exists(path + ".old")
+
+
+def test_time_travel_and_expire(spark, tmp_path):
+    """Snapshot log (Iceberg-style): every commit lands an immutable
+    sequence; read_encoded(as_of=) sees exactly the state at that
+    sequence (across appends AND a compaction pointer swap); only
+    expire_snapshots reclaims history, after which the expired sequence
+    refuses with the available list."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded, list_snapshots, read_snapshot
+    from parquet_spark.operators.maintain import compact_table, expire_snapshots
+
+    path = str(tmp_path / "tt")
+    df1 = spark.range(0, 1000).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+    df2 = spark.range(1000, 1500).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+    append_encoded(df1, path, target_partitions=4)
+    s1 = read_snapshot(path)["sequence"]
+    append_encoded(df2, path, target_partitions=4)
+    s2 = read_snapshot(path)["sequence"]
+    assert [s["sequence"] for s in list_snapshots(path)] == [s1, s2]
+    assert read_encoded(spark, path, as_of=s1).count() == 1000
+    assert read_encoded(spark, path, as_of=s2).count() == 1500
+    # compaction rewrites into a fresh generation; history stays readable
+    rep = compact_table(spark, path, min_fill_ratio=1.1)
+    assert rep["compacted"]
+    assert read_encoded(spark, path, as_of=s1).count() == 1000
+    assert read_encoded(spark, path).count() == 1500
+    # retention is explicit: expire drops old sequences + their generations
+    out = expire_snapshots(path, keep_last=1)
+    assert s1 in out["expired"] and "data" in out["removed_dirs"]
+    with pytest.raises(ValueError, match="not retained"):
+        read_encoded(spark, path, as_of=s1)
+    assert read_encoded(spark, path).count() == 1500
+
+
+def test_flat_rewrite_is_copy_on_write(spark, tmp_path):
+    """Re-running write_encoded with different data must NOT overwrite the
+    live generation in place: the old sequence stays readable until
+    expired."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+
+    path = str(tmp_path / "cow")
+    # explicit fingerprints: range() frames have no input files, so the
+    # derived fingerprint would collide and take the resume path instead
+    df1 = spark.range(0, 500).select(F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v"))
+    write_encoded(df1, path, target_partitions=2, fingerprint="v1")
+    s1 = read_snapshot(path)["sequence"]
+    df2 = spark.range(0, 900).select(F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v"))
+    write_encoded(df2, path, target_partitions=2, fingerprint="v2")
+    snap2 = read_snapshot(path)
+    assert snap2["data_dir"] != "data"  # fresh generation, not in-place
+    assert read_encoded(spark, path).count() == 900
+    assert read_encoded(spark, path, as_of=s1).count() == 500
+    assert read_encoded(spark, path, as_of=s1).agg(F.sum("v")).collect()[0][0] == sum(
+        i * 2 for i in range(500)
+    )

@@ -567,3 +567,35 @@ def test_decimal_foreign_reads(tmp_path):
     want = con.query("SELECT id, price, CAST(id AS DECIMAL(9,3)) AS d32, big FROM t").arrow()
     got = praw.read_file(p3).cast(want.schema)
     assert got.equals(want.combine_chunks())
+
+
+def test_temporal_interop_both_directions(tmp_path):
+    """timestamp[us]/timestamp[ms]/date32 as epoch ints + TIMESTAMP_* /
+    DATE converted types: our writer's files open typed in pyarrow and
+    duckdb; pyarrow's files come back typed through our reader."""
+    import datetime as dt
+
+    import duckdb
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [None if i % 13 == 0 else dt.datetime(2026, 1, 1 + (i % 27), 12, 0, i % 60)
+                 for i in range(2000)],
+                pa.timestamp("us"),
+            ),
+            "d": pa.array([dt.date(2026, 1, (i % 28) + 1) for i in range(2000)]),
+            "ms": pa.array([dt.datetime(2025, 6, 1, i % 24) for i in range(2000)], pa.timestamp("ms")),
+        }
+    )
+    p = str(tmp_path / "temporal.parquet")
+    praw.write_file(p, t, compression="snappy", page_rows=700)
+    assert pq.read_table(p).cast(t.schema).equals(t)
+    assert duckdb.query(f"SELECT max(ts) FROM read_parquet('{p}')").fetchone()[0] == dt.datetime(2026, 1, 27, 12, 0, 59)
+    assert praw.read_file(p).cast(t.schema).equals(t)
+    p2 = str(tmp_path / "pa_temporal.parquet")
+    pq.write_table(t, p2, data_page_version="1.0", compression="snappy")
+    got = praw.read_file(p2)
+    assert got.schema.field("ts").type == pa.timestamp("us")
+    assert got.schema.field("d").type == pa.date32()
+    assert got.cast(t.schema).equals(t)
