@@ -283,6 +283,26 @@ def _q_interop_parquet_list(spark, sf_dir):
     ).withColumn("idx", F.col("idx").cast("int"))
 
 
+def _q_evolution_append(spark, sf_dir):
+    """Additive schema evolution on the batch table layout: batch 1
+    writes (doc_id, source), batch 2 appends (doc_id, source, lang) — the
+    snapshot schema becomes the union and blocks written before the
+    column existed decode as nulls (operators/decode.py null-fill path).
+    The oracle reproduces the null-fill with a CASE on the batch split."""
+    import tempfile
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded
+
+    df = _t(spark, sf_dir, "documents")
+    a = df.where(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    b = df.where(F.col("doc_id") % 2 != 0).select("doc_id", "source", "lang")
+    path = tempfile.mkdtemp(prefix="psq-evo-") + "/t"
+    append_encoded(a, path, target_partitions=4)
+    append_encoded(b, path, target_partitions=4)
+    return read_encoded(spark, path)
+
+
 def _q_interop_parquet_events(spark, sf_dir):
     """Distributed standards-Parquet export with temporal columns: every
     partition writes its own file via the raw writer inside a mapInArrow
@@ -582,6 +602,26 @@ def _q_events_session_window(spark, sf_dir):
     return session_stats_windowed(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_events_asof_join(spark, sf_dir):
+    """Backward as-of join (pipeline/events.py asof_join): every event is
+    annotated with the most recent at-or-before marker value for its user
+    — the point-in-time feature lookup. One hash shuffle on the user key,
+    running last-non-null window, no range join. The oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN — an independent implementation of the same
+    semantics. The right side is deduplicated on (user, ts) so the match
+    is unambiguous on both engines."""
+    from parquet_spark.pipeline.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    right = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark"))
+    )
+    return asof_join(left, right, key_col="user_id", ts_col="ts", value_cols=["mark"])
+
+
 def _q_corpus_ngram_counts(spark, sf_dir):
     """Top-k word-trigram frequency over the corpus (vocabulary audit /
     contamination-index building block) — one explode + one map-side-
@@ -697,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_dict": _q_interop_parquet_dict,
         "interop_parquet_decimal": _q_interop_parquet_decimal,
         "interop_parquet_events": _q_interop_parquet_events,
+        "evolution_append": _q_evolution_append,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -712,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_repeated_lines": _q_text_strip_repeated_lines,
         "events_session_stats": _q_events_session_stats,
         "events_session_window": _q_events_session_window,
+        "events_asof_join": _q_events_asof_join,
         "corpus_ngram_counts": _q_corpus_ngram_counts,
         "corpus_contamination": _q_corpus_contamination,
         "corpus_boilerplate_segments": _q_corpus_boilerplate_segments,
@@ -802,6 +844,10 @@ def oracle_sql() -> dict[str, str]:
         "interop_parquet_events": (
             "SELECT event_id, ts, event_type, value FROM events"
         ),
+        "evolution_append": (
+            "SELECT doc_id, source, "
+            "CASE WHEN doc_id % 2 <> 0 THEN lang END AS lang FROM documents"
+        ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from
         # Spark's int64 even when every value agrees
@@ -857,6 +903,12 @@ def _pipeline_oracles() -> dict[str, str]:
     return {
         "events_session_stats": events.session_stats_oracle(gap_minutes=30),
         "events_session_window": events.session_window_oracle(gap_minutes=30),
+        "events_asof_join": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS mark FROM events "
+            "WHERE event_id % 10 = 0 GROUP BY user_id, ts) "
+            "SELECT l.event_id, l.user_id, l.ts, l.value, r.mark "
+            "FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
         "text_token_counts": textops.token_counts_oracle(),
         "text_quality_scores": textops.quality_scores_oracle(),
         "text_language_id": textops.language_id_oracle(),

@@ -25,6 +25,10 @@ from parquet_spark.operators.encode import read_snapshot
 
 
 def _decode_fn(columns: list[str], spark_schema: StructType, verify: bool = False):
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    null_types = {f.name: to_arrow_type(f.dataType) for f in spark_schema.fields}
+
     def fn(batches):
         import json as _json
         import zlib
@@ -36,11 +40,18 @@ def _decode_fn(columns: list[str], spark_schema: StructType, verify: bool = Fals
                 continue
             for row in range(b.num_rows):
                 meta = _json.loads(b.column("meta")[row].as_py()) if verify else None
+                n_rows = b.column("n_rows")[row].as_py()
                 arrays = []
                 for col in columns:
+                    scalar = b.column(col)[row]
+                    if not scalar.is_valid:
+                        # additive schema evolution: blocks written before
+                        # the column existed carry no payload — null-fill
+                        arrays.append(pa.nulls(n_rows, null_types[col]))
+                        continue
                     # zero-copy view into the Arrow buffer (as_py() would
                     # memcpy every multi-MB payload before decode)
-                    payload = memoryview(b.column(col)[row].as_buffer())
+                    payload = memoryview(scalar.as_buffer())
                     if verify:
                         want = meta.get(col, {}).get("crc")
                         got = zlib.crc32(payload) & 0xFFFFFFFF
@@ -66,13 +77,20 @@ def decode_table(
     schema (from snapshot.json); projection via `columns`. `verify=True`
     checks each payload's crc32 against the block's recorded checksum
     before decoding (integrity gate for untrusted storage)."""
+    from pyspark.sql import functions as F
+
     known = {f.name: f for f in schema.fields}
     columns = columns or [f.name for f in schema.fields]
     missing = [c for c in columns if c not in known]
     if missing:
         raise KeyError(f"column(s) {missing} not in encoded table; available: {sorted(known)}")
     out_schema = StructType([known[c] for c in columns])
-    proj = blocks_df.select(*(["meta"] + list(columns) if verify else columns))
+    # schema-evolved tables: a column the snapshot knows but NO retained
+    # block carries (or that older batches lack) decodes as nulls
+    for c in columns:
+        if c not in blocks_df.columns:
+            blocks_df = blocks_df.withColumn(c, F.lit(None).cast("binary"))
+    proj = blocks_df.select(*((["meta"] if verify else []) + ["n_rows"] + list(columns)))
     return proj.mapInArrow(_decode_fn(list(columns), out_schema, verify), out_schema)
 
 
@@ -179,8 +197,11 @@ def read_encoded(
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
     # the snapshot names the live generation dir — after a compaction
-    # commit (rename-less pointer swap) it is not necessarily "data"
-    blocks_df = spark.read.parquet(os.path.join(path, snap.get("data_dir", "data")))
+    # commit (rename-less pointer swap) it is not necessarily "data";
+    # mergeSchema unions batch dirs written before a column was added
+    blocks_df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, snap.get("data_dir", "data"))
+    )
     if as_of is not None and snap.get("max_batch") is not None and "batch" in blocks_df.columns:
         # batch-layout tables append into the SAME generation dir; the
         # historical snapshot's high-water mark scopes the time travel to

@@ -62,6 +62,56 @@ def session_stats(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward AS-OF join (an operator Spark lacks natively): each left
+    row picks the right row with the greatest right.ts <= left.ts for the
+    same key — the point-in-time lookup every feature/training pipeline
+    needs (no future leakage by construction).
+
+    Spark-first shape: tag both sides, union, ONE hash shuffle on the key,
+    and a running last-non-null window over the merged timeline — never a
+    range join or per-key collect. The right row's values ride in a single
+    struct so a genuinely-NULL attribute at a later timestamp correctly
+    shadows an older non-null one. Ties: a right row at exactly left.ts
+    matches (inclusive); multiple right rows on the same (key, ts) are
+    ambiguous — deduplicate the right side first (the certification query
+    does) or the window picks one nondeterministically.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (key_col, ts_col)]
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"right value column(s) {clash} collide with left columns; alias them")
+    lcols = list(left.columns)
+    l = left.withColumn("__is_l", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            ) + ">"
+        )
+    )
+    r = right.select(
+        F.col(key_col), F.col(ts_col),
+        F.lit(0).alias("__is_l"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__is_l")  # right rows sort before left at equal ts → inclusive
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    return u.where(F.col("__is_l") == 1).select(
+        *lcols, *[F.col(f"__r.{c}").alias(c) for c in value_cols]
+    )
+
+
 def session_stats_windowed(
     df: DataFrame,
     user_col: str = "user_id",

@@ -119,13 +119,45 @@ class StreamingEncoder:
         # read_encoded(as_of=...) meaningful on batch/streaming tables.
         # max_batch is monotone even across checkpoint replays (a replayed
         # old batch must not regress the visible high-water mark).
+        # Additive schema evolution: the committed schema is the UNION of
+        # the previous snapshot's fields and this batch's — a column an
+        # earlier batch wrote stays readable (new blocks null-fill it) and
+        # a column this batch adds null-fills the older blocks.
+        from pyspark.sql.types import StructType
+
         from parquet_spark.operators.encode import read_snapshot
 
         prev = read_snapshot(self.path) or {}
+        schema = batch_df.schema
+        if prev.get("schema"):
+            from pyspark.sql.types import StructField
+
+            old = StructType.fromJson(prev["schema"])
+            by_new = {f.name: f for f in schema.fields}
+            merged = []
+            for f in old.fields:
+                g = by_new.get(f.name)
+                if g is not None and g.dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution is additive-only: column {f.name!r} "
+                        f"changed type {f.dataType.simpleString()} -> "
+                        f"{g.dataType.simpleString()}"
+                    )
+                # a column absent from SOME batch decodes as null there, so
+                # any field not present in every batch must be nullable —
+                # conservatively: dropped-now or added-later fields
+                nullable = True if g is None else (f.nullable or g.nullable)
+                merged.append(StructField(f.name, f.dataType, nullable))
+            old_names = {f.name for f in old.fields}
+            merged += [
+                StructField(f.name, f.dataType, True)
+                for f in schema.fields if f.name not in old_names
+            ]
+            schema = StructType(merged)
         write_snapshot(
             self.path,
-            batch_df.schema.json(),
-            columns,
+            schema.json(),
+            [f.name for f in schema.fields],
             f"stream-{os.path.basename(self.path)}",
             {
                 "streaming": True, "block_rows": self.block_rows,

@@ -254,3 +254,44 @@ def test_flat_rewrite_is_copy_on_write(spark, tmp_path):
     assert read_encoded(spark, path, as_of=s1).agg(F.sum("v")).collect()[0][0] == sum(
         i * 2 for i in range(500)
     )
+
+
+def test_additive_schema_evolution_on_batch_appends(spark, tmp_path):
+    """A later append may ADD nullable columns: older blocks decode them
+    as nulls, a column dropped from a later batch stays readable, and a
+    type change is refused loudly (additive-only contract)."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded, read_snapshot
+
+    path = str(tmp_path / "evo")
+    d1 = spark.range(0, 1000).select(F.col("id").alias("doc_id"), (F.col("id") % 5).alias("v"))
+    # score is NON-NULLABLE in the batch schema: the merged snapshot must
+    # relax it to nullable, else Spark's Arrow accessor crashes on the
+    # null-filled old blocks (regression caught by the verify drive)
+    d2 = spark.range(1000, 1500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("v"),
+        F.concat(F.lit("s"), F.col("id") % 3).alias("lang"),
+        (F.col("id") * 0.5).alias("score"),
+    )
+    append_encoded(d1, path, target_partitions=4)
+    s1 = read_snapshot(path)["sequence"]
+    append_encoded(d2, path, target_partitions=4)
+    back = read_encoded(spark, path)
+    assert back.columns == ["doc_id", "v", "lang", "score"]
+    assert back.count() == 1500
+    assert back.where(F.col("lang").isNull()).count() == 1000
+    assert back.where(F.col("score").isNotNull()).count() == 500
+    assert back.agg(F.sum("score")).collect()[0][0] == sum(i * 0.5 for i in range(1000, 1500))
+    assert read_encoded(spark, path, columns=["lang"]).count() == 1500
+    # time travel to before the column existed: the old schema applies
+    assert "lang" not in read_encoded(spark, path, as_of=s1).columns
+    # a batch that DROPS the column keeps it readable (null-filled)
+    d3 = spark.range(1500, 1700).select(F.col("id").alias("doc_id"), (F.col("id") % 5).alias("v"))
+    append_encoded(d3, path, target_partitions=2)
+    back3 = read_encoded(spark, path)
+    assert back3.columns == ["doc_id", "v", "lang", "score"]
+    assert back3.where(F.col("lang").isNull()).count() == 1200
+    # type changes are not evolution — refuse before writing a snapshot
+    d4 = spark.range(0, 10).select(F.col("id").alias("doc_id"), F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="additive-only"):
+        append_encoded(d4, path, target_partitions=1)

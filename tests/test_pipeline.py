@@ -506,3 +506,47 @@ def test_sessionize_gap_semantics(spark):
     assert stats[(1, 2)]["n_events"] == 1
     assert stats[(2, 1)]["n_events"] == 2
     assert stats[(2, 1)]["t_end"] - stats[(2, 1)]["t_start"] == 30 * m
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: greatest right.ts <= left.ts per key,
+    exact-timestamp inclusive, and a later NULL attribute must shadow an
+    older non-null one (the struct carrier, not per-column last)."""
+    import datetime as dt
+
+    from parquet_spark.pipeline.events import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    left = spark.createDataFrame(
+        [(1, 1, t0, "a"), (2, 1, t0 + 60 * m, "b"), (3, 2, t0 - 10 * m, "c"), (4, 1, t0 + 30 * m, "d")],
+        "event_id long, user_id long, ts timestamp, x string",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 5.0, "p1"), (1, t0 + 30 * m, None, "p2"), (2, t0, 9.0, "p3")],
+        "user_id long, ts timestamp, v double, tag string",
+    )
+    out = {r["event_id"]: (r["v"], r["tag"]) for r in asof_join(left, right, value_cols=["v", "tag"]).collect()}
+    assert out[1] == (5.0, "p1")      # exact-ts inclusive
+    assert out[4] == (None, "p2")     # later NULL shadows older non-null
+    assert out[2] == (None, "p2")
+    assert out[3] == (None, None)     # no right row at or before
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("v", "x"), value_cols=["x"])
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    """The as-of join is ONE hash shuffle on the key — no range join, no
+    cartesian, no second exchange."""
+    import datetime as dt
+
+    from parquet_spark.pipeline.events import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame([(1, 1, t0, 1.0)], "event_id long, user_id long, ts timestamp, value double")
+    right = spark.createDataFrame([(1, t0, 2.0)], "user_id long, ts timestamp, mark double")
+    plan = asof_join(left, right, value_cols=["mark"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
