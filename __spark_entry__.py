@@ -622,6 +622,34 @@ def _q_events_asof_join(spark, sf_dir):
     return asof_join(left, right, key_col="user_id", ts_col="ts", value_cols=["mark"])
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Range (point-in-interval) join (pipeline/events.py interval_join):
+    events joined back to their own session intervals — binned time axis
+    turns the non-equi range predicate into a hash equi-join on
+    (user, bin) + exact filter, never a nested-loop. The oracle derives
+    each event's session number independently via window SQL; the interval
+    join must reproduce it exactly (sessions are disjoint per user, so
+    every event matches exactly one interval)."""
+    from parquet_spark.pipeline.events import interval_join, session_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sessions = session_stats(_t(spark, sf_dir, "events"), gap_minutes=30).select(
+        "user_id", "session_num", "t_start", "t_end"
+    )
+    out = interval_join(ev, sessions, bin_minutes=60)
+    return out.select("event_id", "user_id", "ts", "session_num")
+
+
+def _q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: order-independent
+    aggregates per epoch-aligned 15-minute bucket per user — one shuffle,
+    map-side partial agg. Oracle: DuckDB's native time_bucket (the
+    TimescaleDB primitive) must land every event in the same bucket."""
+    from parquet_spark.pipeline.events import time_rollup
+
+    return time_rollup(_t(spark, sf_dir, "events"), bucket_minutes=15, key_col="user_id")
+
+
 def _q_corpus_ngram_counts(spark, sf_dir):
     """Top-k word-trigram frequency over the corpus (vocabulary audit /
     contamination-index building block) — one explode + one map-side-
@@ -754,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": _q_events_session_stats,
         "events_session_window": _q_events_session_window,
         "events_asof_join": _q_events_asof_join,
+        "events_interval_join": _q_events_interval_join,
+        "events_time_rollup": _q_events_time_rollup,
         "corpus_ngram_counts": _q_corpus_ngram_counts,
         "corpus_contamination": _q_corpus_contamination,
         "corpus_boilerplate_segments": _q_corpus_boilerplate_segments,
@@ -908,6 +938,20 @@ def _pipeline_oracles() -> dict[str, str]:
             "WHERE event_id % 10 = 0 GROUP BY user_id, ts) "
             "SELECT l.event_id, l.user_id, l.ts, l.value, r.mark "
             "FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_interval_join": (
+            # independent per-event session derivation via window SQL
+            "WITH e AS (SELECT event_id, user_id, ts, CASE WHEN "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 "
+            "THEN 1 ELSE 0 END AS s FROM events) "
+            "SELECT event_id, user_id, ts, CAST(sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num FROM e"
+        ),
+        "events_time_rollup": (
+            "SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, user_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY 1, 2"
         ),
         "text_token_counts": textops.token_counts_oracle(),
         "text_quality_scores": textops.quality_scores_oracle(),

@@ -112,6 +112,61 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """Range (point-in-interval) join: each point row matched to every
+    interval row of the same key with start <= ts <= end (inclusive).
+
+    Spark-first shape: a naive non-equi join degenerates to
+    BroadcastNestedLoop/cartesian at scale, so the time axis is BINNED —
+    intervals explode into the bins they cover, the join is a plain hash
+    equi-join on (key, bin), and the exact range predicate filters after.
+    Pick `bin_minutes` near the typical interval length: shorter bins
+    multiply interval rows, longer bins multiply false candidates; both
+    only cost work, never correctness."""
+    bw = int(bin_minutes) * 60 * 1_000_000
+    pt_bin = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / bw)
+    iv_start = F.unix_micros(F.col(start_col).cast("timestamp"))
+    iv_end = F.unix_micros(F.col(end_col).cast("timestamp"))
+    pts = points.withColumn("__bin", pt_bin)
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(iv_start / bw), F.floor(iv_end / bw)))
+    )
+    out = pts.join(iv, [key_col, "__bin"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return out.drop("__bin")
+
+
+def time_rollup(
+    df: DataFrame,
+    bucket_minutes: int = 15,
+    key_col: str | None = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: order-independent
+    aggregates per (epoch-aligned time bucket[, key]). Pure groupBy —
+    map-side partial aggregation, one shuffle on the bucket key. Bucket
+    widths that divide a day evenly align identically in Spark's window
+    and DuckDB/TimescaleDB's time_bucket, which is what the oracle
+    checks."""
+    w = F.window(F.col(ts_col).cast("timestamp"), f"{int(bucket_minutes)} minutes")
+    keys = [w.start.alias("bucket_start")] + ([F.col(key_col)] if key_col else [])
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
 def session_stats_windowed(
     df: DataFrame,
     user_col: str = "user_id",

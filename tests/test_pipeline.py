@@ -550,3 +550,50 @@ def test_asof_join_plan_single_shuffle(spark):
     plan = asof_join(left, right, value_cols=["mark"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Point-in-interval join: inclusive bounds, multi-match, zero-length
+    intervals, intervals crossing bin boundaries — and the plan is a hash
+    equi-join on (key, bin), never a nested-loop/cartesian."""
+    import datetime as dt
+
+    from parquet_spark.pipeline.events import interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    pts = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0 + 90 * m), (3, 2, t0 + 5 * m), (4, 1, t0 + 300 * m)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, t0 - 5 * m, t0 + 10 * m, "A"),
+            (1, t0 + 80 * m, t0 + 95 * m, "B"),   # crosses the hour-bin edge
+            (1, t0, t0 + 120 * m, "C"),           # multi-match
+            (2, t0 + 5 * m, t0 + 5 * m, "D"),     # zero-length inclusive
+        ],
+        "user_id long, t_start timestamp, t_end timestamp, tag string",
+    )
+    got = sorted((r["event_id"], r["tag"]) for r in interval_join(pts, iv).collect())
+    assert got == [(1, "A"), (1, "C"), (2, "B"), (2, "C"), (3, "D")]
+    plan = interval_join(pts, iv)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_time_rollup_buckets(spark):
+    import datetime as dt
+
+    from parquet_spark.pipeline.events import time_rollup
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [(i, i % 3, t0 + dt.timedelta(minutes=i), float(i)) for i in range(100)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    r = {(x["bucket_start"], x["user_id"]): x for x in time_rollup(ev, bucket_minutes=15).collect()}
+    first = r[(t0, 0)]
+    assert first["n_events"] == 5 and first["min_value"] == 0.0 and first["max_value"] == 12.0
+    # global (keyless) variant
+    g = time_rollup(ev, bucket_minutes=15, key_col=None).collect()
+    assert sum(x["n_events"] for x in g) == 100
