@@ -303,6 +303,24 @@ def _q_evolution_append(spark, sf_dir):
     return read_encoded(spark, path)
 
 
+def _q_maintain_delete_where(spark, sf_dir):
+    """Copy-on-write row delete (operators/maintain.py delete_where — the
+    Iceberg-delete / right-to-erasure primitive): survivors rewrite into a
+    fresh generation, ONE atomic snapshot swap commits. The read-back must
+    equal the oracle's NOT-matching set exactly."""
+    import tempfile
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import delete_where
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="psq-del-") + "/t"
+    write_encoded(df, path, target_partitions=4)
+    delete_where(spark, path, ("n_chars", "<", 300))
+    return read_encoded(spark, path)
+
+
 def _q_interop_parquet_events(spark, sf_dir):
     """Distributed standards-Parquet export with temporal columns: every
     partition writes its own file via the raw writer inside a mapInArrow
@@ -766,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_decimal": _q_interop_parquet_decimal,
         "interop_parquet_events": _q_interop_parquet_events,
         "evolution_append": _q_evolution_append,
+        "maintain_delete_where": _q_maintain_delete_where,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -877,6 +896,9 @@ def oracle_sql() -> dict[str, str]:
         "evolution_append": (
             "SELECT doc_id, source, "
             "CASE WHEN doc_id % 2 <> 0 THEN lang END AS lang FROM documents"
+        ),
+        "maintain_delete_where": (
+            "SELECT doc_id, source, n_chars FROM documents WHERE n_chars >= 300"
         ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from

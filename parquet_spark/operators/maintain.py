@@ -100,6 +100,60 @@ def _sweep_orphan_generations(path: str, snap: dict) -> None:
             tablefs.delete_dir(os.path.join(path, entry))
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    where,
+    **encode_kwargs,
+) -> dict:
+    """Copy-on-write row delete (the Iceberg delete analogue, and the
+    GDPR/right-to-erasure primitive): rows matching `where` — one
+    (col, op, value) triple or a list ANDed together, the same predicate
+    language as read_encoded — are removed by rewriting the survivors
+    into a FRESH generation and committing with one atomic snapshot
+    pointer swap. Readers never see a partial state; the pre-delete
+    sequence stays time-travelable until expire_snapshots reclaims it
+    (after which the deleted rows' bytes are actually gone — run expiry
+    to complete an erasure request). Returns {deleted, remaining}."""
+    from pyspark.sql import functions as F
+
+    snap = read_snapshot(path)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot.json under {path}")
+    df = read_encoded(spark, path)
+    preds = [where] if isinstance(where, tuple) else list(where)
+    op_fns = {
+        ">": lambda c, v: c > F.lit(v), ">=": lambda c, v: c >= F.lit(v),
+        "<": lambda c, v: c < F.lit(v), "<=": lambda c, v: c <= F.lit(v),
+        "=": lambda c, v: c == F.lit(v), "==": lambda c, v: c == F.lit(v),
+        "!=": lambda c, v: c != F.lit(v),
+        "in": lambda c, v: c.isin(*list(v)) if list(v) else F.lit(False),
+    }
+    cond = None
+    for col, op, value in preds:
+        if op not in op_fns:
+            raise ValueError(f"delete_where op {op!r} not in {sorted(op_fns)}")
+        piece = op_fns[op](F.col(col), value)
+        cond = piece if cond is None else (cond & piece)
+    # null-safe survivor set: rows where the predicate is NULL (e.g. a null
+    # column value under '>') did not MATCH the delete and must survive
+    total = df.count()
+    keep = df.where(~cond.eqNullSafe(F.lit(True)))
+    gen = uuid.uuid4().hex[:8]
+    write_encoded(
+        keep,
+        path,
+        resume=False,
+        fingerprint=f"delete-{gen}",
+        block_rows=snap.get("block_rows", DEFAULT_BLOCK_ROWS),
+        data_dirname=f"data-{gen}",
+        manifest_dirname=f"manifest-{gen}",
+        **encode_kwargs,
+    )
+    remaining = read_encoded(spark, path).count()
+    return {"deleted": total - remaining, "remaining": remaining}
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Retention: drop all but the newest `keep_last` snapshot sequences
     (the live one is always kept), then reclaim generation dirs no

@@ -295,3 +295,33 @@ def test_additive_schema_evolution_on_batch_appends(spark, tmp_path):
     d4 = spark.range(0, 10).select(F.col("id").alias("doc_id"), F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="additive-only"):
         append_encoded(d4, path, target_partitions=1)
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Row deletes rewrite survivors into a fresh generation (one atomic
+    commit): matching rows vanish, NULL predicate evaluations survive
+    (null-safe), the pre-delete sequence stays time-travelable, and
+    expiry completes the erasure."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+    from parquet_spark.operators.maintain import delete_where, expire_snapshots
+
+    path = str(tmp_path / "dw")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") * 1.0).alias("score"),
+    )
+    write_encoded(df, path, target_partitions=4)
+    s1 = read_snapshot(path)["sequence"]
+    rep = delete_where(spark, path, ("v", "=", 3))
+    assert rep["deleted"] == df.where(F.col("v") == 3).count()
+    assert read_encoded(spark, path).where(F.col("v") == 3).count() == 0
+    # '>' over NULL scores must not delete the null rows
+    delete_where(spark, path, ("score", ">", 2500.0))
+    want_nulls = df.where(F.col("score").isNull() & (F.col("v") != 3)).count()
+    assert read_encoded(spark, path).where(F.col("score").isNull()).count() == want_nulls
+    # erasure completes only at expiry (time travel until then)
+    assert read_encoded(spark, path, as_of=s1).count() == 5000
+    expire_snapshots(path, keep_last=1)
+    with pytest.raises(ValueError, match="not retained"):
+        read_encoded(spark, path, as_of=s1)
