@@ -321,6 +321,32 @@ def _q_maintain_delete_where(spark, sf_dir):
     return read_encoded(spark, path)
 
 
+def _q_maintain_merge_into(spark, sf_dir):
+    """Copy-on-write upsert (operators/maintain.py merge_into — Iceberg
+    MERGE analogue): every doc_id%3==0 row gets doubled n_chars (update)
+    and a key-shifted copy of the doc_id%5==0 slice appends (insert), one
+    atomic commit. Oracle reproduces the merged state declaratively."""
+    import tempfile
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="psq-mrg-") + "/t"
+    write_encoded(df, path, target_partitions=4)
+    updates = (
+        df.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "source", (F.col("n_chars") * 2).alias("n_chars"))
+        .unionByName(
+            df.where(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "source", "n_chars")
+        )
+    )
+    merge_into(spark, path, updates, key_col="doc_id")
+    return read_encoded(spark, path)
+
+
 def _q_interop_parquet_events(spark, sf_dir):
     """Distributed standards-Parquet export with temporal columns: every
     partition writes its own file via the raw writer inside a mapInArrow
@@ -785,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interop_parquet_events": _q_interop_parquet_events,
         "evolution_append": _q_evolution_append,
         "maintain_delete_where": _q_maintain_delete_where,
+        "maintain_merge_into": _q_maintain_merge_into,
         "stats_minmax_nulls": _q_stats_minmax_nulls,
         "stats_ndv": _q_stats_ndv,
         "stats_run_length": _q_stats_run_length,
@@ -899,6 +926,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "maintain_delete_where": (
             "SELECT doc_id, source, n_chars FROM documents WHERE n_chars >= 300"
+        ),
+        "maintain_merge_into": (
+            "SELECT doc_id, source, "
+            "CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars "
+            "FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, source, n_chars FROM documents "
+            "WHERE doc_id % 5 = 0"
         ),
         # sums are CAST to BIGINT: DuckDB sum(INTEGER) returns HUGEINT, which
         # pandas renders as float64 and the driver hash then diverges from

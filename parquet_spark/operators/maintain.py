@@ -154,6 +154,58 @@ def delete_where(
     return {"deleted": total - remaining, "remaining": remaining}
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates,
+    key_col: str = "doc_id",
+    **encode_kwargs,
+) -> dict:
+    """Copy-on-write upsert (the Iceberg MERGE analogue): rows of
+    `updates` replace same-key rows of the table, new keys append — in
+    ONE rewrite commit, so readers see either the old table or the fully
+    merged one. Requires `updates` to cover the table's schema (additive
+    extra columns are fine: the batch layout's evolution rules apply on
+    read); duplicate keys WITHIN `updates` are rejected — last-writer
+    ambiguity inside one commit is a bug, not a semantics.
+    Plan shape: one left-anti hash join on the key (broadcast when the
+    update set is small) + the standard encode; no per-row work.
+    Returns {updated, inserted, total}."""
+    from pyspark.sql import functions as F
+
+    snap = read_snapshot(path)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot.json under {path}")
+    if key_col not in updates.columns:
+        raise KeyError(f"key column {key_col!r} not in updates")
+    dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"updates carry duplicate {key_col!r} keys — resolve before merging")
+    cur = read_encoded(spark, path)
+    missing = [c for c in cur.columns if c not in updates.columns]
+    if missing:
+        raise KeyError(f"updates missing table column(s) {missing}")
+    survivors = cur.join(updates.select(key_col), key_col, "left_anti")
+    n_before, n_updates = cur.count(), updates.count()
+    merged = survivors.select(*cur.columns).unionByName(
+        updates, allowMissingColumns=True
+    )
+    gen = uuid.uuid4().hex[:8]
+    write_encoded(
+        merged,
+        path,
+        resume=False,
+        fingerprint=f"merge-{gen}",
+        block_rows=snap.get("block_rows", DEFAULT_BLOCK_ROWS),
+        data_dirname=f"data-{gen}",
+        manifest_dirname=f"manifest-{gen}",
+        **encode_kwargs,
+    )
+    total = read_encoded(spark, path).count()
+    inserted = total - n_before
+    return {"updated": n_updates - inserted, "inserted": inserted, "total": total}
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Retention: drop all but the newest `keep_last` snapshot sequences
     (the live one is always kept), then reclaim generation dirs no

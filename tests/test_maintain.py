@@ -325,3 +325,26 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     expire_snapshots(path, keep_last=1)
     with pytest.raises(ValueError, match="not retained"):
         read_encoded(spark, path, as_of=s1)
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """Upsert: same-key rows replaced, new keys appended, one commit;
+    duplicate keys inside the update set are refused."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+
+    path = str(tmp_path / "mrg")
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"), (F.col("id") * 10).alias("v"))
+    write_encoded(df, path, target_partitions=4)
+    updates = spark.range(1500, 2500).select(F.col("id").alias("doc_id"), F.lit(-1).alias("v"))
+    rep = merge_into(spark, path, updates, key_col="doc_id")
+    assert rep == {"updated": 500, "inserted": 500, "total": 2500}
+    back = read_encoded(spark, path)
+    assert back.where(F.col("v") == -1).count() == 1000
+    assert back.where((F.col("doc_id") < 1500) & (F.col("v") != F.col("doc_id") * 10)).count() == 0
+    dup = updates.unionByName(updates.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(spark, path, dup, key_col="doc_id")
+    with pytest.raises(KeyError, match="missing"):
+        merge_into(spark, path, updates.select("doc_id"), key_col="doc_id")
