@@ -104,54 +104,108 @@ def delete_where(
     spark: SparkSession,
     path: str,
     where,
-    **encode_kwargs,
 ) -> dict:
     """Copy-on-write row delete (the Iceberg delete analogue, and the
     GDPR/right-to-erasure primitive): rows matching `where` — one
     (col, op, value) triple or a list ANDed together, the same predicate
-    language as read_encoded — are removed by rewriting the survivors
-    into a FRESH generation and committing with one atomic snapshot
-    pointer swap. Readers never see a partial state; the pre-delete
-    sequence stays time-travelable until expire_snapshots reclaims it
-    (after which the deleted rows' bytes are actually gone — run expiry
-    to complete an erasure request). Returns {deleted, remaining}."""
+    language as read_encoded — are removed and the result commits as a
+    FRESH generation with one atomic snapshot pointer swap. Readers never
+    see a partial state; the pre-delete sequence stays time-travelable
+    until expire_snapshots reclaims it (after which the deleted rows'
+    bytes are actually gone — run expiry to complete an erasure request).
+
+    Scale shape: per-block min/max (and the delete predicate's own
+    semantics) split the table at METADATA cost into blocks that cannot
+    contain a match — copied into the new generation byte-for-byte, no
+    decode — and blocks that might, which alone are decoded, filtered,
+    and re-encoded. A selective delete on a clustered column costs
+    O(matching blocks), not O(table). Returns
+    {deleted, remaining, blocks_copied, blocks_rewritten}."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from parquet_spark.operators.decode import _block_keep_condition, decode_table
+    from parquet_spark.operators.encode import (
+        encode_table,
+        manifest_from_blocks,
+        write_snapshot,
+    )
 
     snap = read_snapshot(path)
     if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
-    df = read_encoded(spark, path)
+    schema = StructType.fromJson(snap["schema"])
     preds = [where] if isinstance(where, tuple) else list(where)
+    preds = [(c, op, list(v) if op == "in" else v) for c, op, v in preds]
     op_fns = {
         ">": lambda c, v: c > F.lit(v), ">=": lambda c, v: c >= F.lit(v),
         "<": lambda c, v: c < F.lit(v), "<=": lambda c, v: c <= F.lit(v),
         "=": lambda c, v: c == F.lit(v), "==": lambda c, v: c == F.lit(v),
         "!=": lambda c, v: c != F.lit(v),
-        "in": lambda c, v: c.isin(*list(v)) if list(v) else F.lit(False),
+        "in": lambda c, v: c.isin(*v) if v else F.lit(False),
     }
-    cond = None
-    for col, op, value in preds:
+    known = {f.name for f in schema.fields}
+    for col, op, _v in preds:
         if op not in op_fns:
             raise ValueError(f"delete_where op {op!r} not in {sorted(op_fns)}")
+        if col not in known:
+            raise KeyError(f"delete_where column {col!r} not in table")
+    blocks = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, snap.get("data_dir", "data"))
+    )
+    if "batch" in blocks.columns:  # batch-layout partition col: the new
+        blocks = blocks.drop("batch")  # generation is a flat rewrite
+    # a block MAY hold a match only if every ANDed predicate's stats range
+    # admits one; blocks without stats conservatively count as touched
+    may = None
+    for col, op, value in preds:
+        c = (
+            _block_keep_condition(col, op, value)
+            if f"_min_{col}" in blocks.columns else F.lit(True)
+        )
+        may = c if may is None else (may & c)
+    touched = blocks.where(may)
+    untouched = blocks.where(~may)
+    rows = decode_table(touched, schema)
+    cond = None
+    for col, op, value in preds:
         piece = op_fns[op](F.col(col), value)
         cond = piece if cond is None else (cond & piece)
-    # null-safe survivor set: rows where the predicate is NULL (e.g. a null
-    # column value under '>') did not MATCH the delete and must survive
-    total = df.count()
-    keep = df.where(~cond.eqNullSafe(F.lit(True)))
+    # null-safe survivor set: a NULL predicate evaluation did not MATCH
+    survivors = rows.where(~cond.eqNullSafe(F.lit(True)))
+    block_rows = snap.get("block_rows", DEFAULT_BLOCK_ROWS)
+    new_blocks = encode_table(survivors, columns=[f.name for f in schema.fields],
+                              block_rows=block_rows)
     gen = uuid.uuid4().hex[:8]
-    write_encoded(
-        keep,
+    data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
+    data_dir = os.path.join(path, data_dirname)
+    union = untouched.unionByName(new_blocks, allowMissingColumns=True)
+    union.write.option("parquet.block.size", 32 << 20).parquet(data_dir)
+    written = spark.read.option("mergeSchema", "true").parquet(data_dir)
+    manifest_from_blocks(
+        written.select("bucket", "part_id", "block_id", "meta")
+    ).write.parquet(os.path.join(path, manifest_dirname))
+    stats = written.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"), F.count("*").alias("blocks")
+    ).collect()[0]
+    before = blocks.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"), F.count("*").alias("blocks")
+    ).collect()[0]
+    n_copied = int(untouched.count())
+    write_snapshot(
         path,
-        resume=False,
-        fingerprint=f"delete-{gen}",
-        block_rows=snap.get("block_rows", DEFAULT_BLOCK_ROWS),
-        data_dirname=f"data-{gen}",
-        manifest_dirname=f"manifest-{gen}",
-        **encode_kwargs,
+        schema.json(),
+        [f.name for f in schema.fields],
+        f"delete-{gen}",
+        {"block_rows": block_rows, "data_dir": data_dirname,
+         "manifest_dir": manifest_dirname},
     )
-    remaining = read_encoded(spark, path).count()
-    return {"deleted": total - remaining, "remaining": remaining}
+    return {
+        "deleted": int(before["rows"]) - int(stats["rows"]),
+        "remaining": int(stats["rows"]),
+        "blocks_copied": n_copied,
+        "blocks_rewritten": int(stats["blocks"]) - n_copied,
+    }
 
 
 def merge_into(

@@ -298,10 +298,10 @@ def test_additive_schema_evolution_on_batch_appends(spark, tmp_path):
 
 
 def test_delete_where_copy_on_write(spark, tmp_path):
-    """Row deletes rewrite survivors into a fresh generation (one atomic
-    commit): matching rows vanish, NULL predicate evaluations survive
-    (null-safe), the pre-delete sequence stays time-travelable, and
-    expiry completes the erasure."""
+    """Row deletes commit a fresh generation atomically: matching rows
+    vanish, NULL predicate evaluations survive (null-safe), the
+    pre-delete sequence stays time-travelable, and expiry completes the
+    erasure."""
     from parquet_spark.operators.decode import read_encoded
     from parquet_spark.operators.encode import read_snapshot, write_encoded
     from parquet_spark.operators.maintain import delete_where, expire_snapshots
@@ -315,6 +315,7 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     s1 = read_snapshot(path)["sequence"]
     rep = delete_where(spark, path, ("v", "=", 3))
     assert rep["deleted"] == df.where(F.col("v") == 3).count()
+    assert rep["blocks_rewritten"] > 0
     assert read_encoded(spark, path).where(F.col("v") == 3).count() == 0
     # '>' over NULL scores must not delete the null rows
     delete_where(spark, path, ("score", ">", 2500.0))
@@ -348,3 +349,23 @@ def test_merge_into_upsert(spark, tmp_path):
         merge_into(spark, path, dup, key_col="doc_id")
     with pytest.raises(KeyError, match="missing"):
         merge_into(spark, path, updates.select("doc_id"), key_col="doc_id")
+
+
+def test_delete_where_copies_untouched_blocks(spark, tmp_path):
+    """Stats-pruned copy-on-write: a selective delete on a clustered
+    column must COPY the non-matching blocks byte-for-byte (no decode)
+    and rewrite only the blocks whose min/max admit a match."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import delete_where
+
+    path = str(tmp_path / "dwp")
+    df = spark.range(0, 60000).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+    write_encoded(df, path, target_partitions=4, block_rows=2000, cluster_col="doc_id")
+    rep = delete_where(spark, path, ("doc_id", "<", 5000))
+    assert rep["deleted"] == 5000
+    assert rep["blocks_copied"] > rep["blocks_rewritten"] > 0
+    back = read_encoded(spark, path)
+    assert back.count() == 55000 and back.where(F.col("doc_id") < 5000).count() == 0
+    # stats pruning still works on the mixed copied+rewritten generation
+    assert read_encoded(spark, path, where=("doc_id", "<", 10000)).count() == 5000
