@@ -102,8 +102,10 @@ def _arrow_dtype_name(typ: pa.DataType) -> str:
         return "float32"
     if pa.types.is_float64(typ):
         return "float64"
-    if pa.types.is_decimal(typ):
+    if pa.types.is_decimal128(typ):
         return "decimal128"
+    if pa.types.is_decimal(typ):  # decimal256: 32-byte values, not encodable
+        raise TypeError(f"unsupported decimal width {typ} (precision > 38)")
     return str(typ)
 
 

@@ -603,7 +603,8 @@ def _partition_balance(df: DataFrame, weight_col: str | None) -> dict | None:
     # counts without round-tripping an AnalysisException through the JVM
     # (which logs a scary ERROR even when caught); the try/except below
     # stays as the backstop for expression-valued weight_col
-    if weight_col is not None and weight_col.isidentifier() and weight_col not in df.columns:
+    if (weight_col is not None and weight_col.isidentifier()
+            and weight_col.lower() not in {c.lower() for c in df.columns}):
         weight_col = None
     try:
         w = F.sum(F.expr(weight_col)).alias("w") if weight_col else F.count("*").alias("w")
@@ -687,20 +688,25 @@ def write_encoded(
     if target_partitions is None:
         target_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
-    snap = read_snapshot(path) if resume else None
+    cur = read_snapshot(path)  # generation allocation must see the table
+    snap = cur if resume else None  # resume logic must NOT (resume=False)
     if snap and snap.get("fingerprint") == fp:
         # resume must target the LIVE generation dirs (a compacted table's
         # data may live under data-<gen>), not the caller's defaults
         data_dirname = snap.get("data_dir", data_dirname)
         manifest_dirname = snap.get("manifest_dir", manifest_dirname)
-    elif snap is not None and data_dirname == snap.get("data_dir", "data"):
-        # rewriting an existing table with default dir names: allocate a
-        # fresh generation instead of overwriting the live one in place —
-        # copy-on-write keeps every retained snapshot sequence readable
-        # (read_encoded(as_of=...)); superseded generations are reclaimed
-        # by maintain.expire_snapshots, never silently destroyed here
-        gen = uuid.uuid4().hex[:8]
-        data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
+    elif cur is not None:
+        # rewriting an existing table: allocate a fresh generation whenever
+        # the target dir is referenced by ANY retained snapshot (not just
+        # the live one — a third rewrite would otherwise clobber the dir a
+        # historical sequence still points at) — copy-on-write keeps every
+        # retained sequence readable (read_encoded(as_of=...)); superseded
+        # generations are reclaimed only by maintain.expire_snapshots
+        retained = {s.get("data_dir", "data") for s in list_snapshots(path)}
+        retained.add(cur.get("data_dir", "data"))
+        if data_dirname in retained:
+            gen = uuid.uuid4().hex[:8]
+            data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
     data_dir = os.path.join(path, data_dirname)
     man_dir = os.path.join(path, manifest_dirname)
     resuming = bool(snap and snap.get("fingerprint") == fp and tablefs.exists(data_dir))

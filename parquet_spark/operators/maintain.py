@@ -136,6 +136,8 @@ def delete_where(
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
     preds = [where] if isinstance(where, tuple) else list(where)
+    if not preds:
+        raise ValueError("delete_where requires at least one predicate")
     preds = [(c, op, list(v) if op == "in" else v) for c, op, v in preds]
     op_fns = {
         ">": lambda c, v: c > F.lit(v), ">=": lambda c, v: c >= F.lit(v),
@@ -174,8 +176,9 @@ def delete_where(
     # null-safe survivor set: a NULL predicate evaluation did not MATCH
     survivors = rows.where(~cond.eqNullSafe(F.lit(True)))
     block_rows = snap.get("block_rows", DEFAULT_BLOCK_ROWS)
+    bloom_cols = snap.get("bloom_cols") or []
     new_blocks = encode_table(survivors, columns=[f.name for f in schema.fields],
-                              block_rows=block_rows)
+                              block_rows=block_rows, bloom_cols=bloom_cols)
     gen = uuid.uuid4().hex[:8]
     data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
     data_dir = os.path.join(path, data_dirname)
@@ -198,7 +201,7 @@ def delete_where(
         [f.name for f in schema.fields],
         f"delete-{gen}",
         {"block_rows": block_rows, "data_dir": data_dirname,
-         "manifest_dir": manifest_dirname},
+         "manifest_dir": manifest_dirname, "bloom_cols": bloom_cols},
     )
     return {
         "deleted": int(before["rows"]) - int(stats["rows"]),
@@ -206,6 +209,17 @@ def delete_where(
         "blocks_copied": n_copied,
         "blocks_rewritten": int(stats["blocks"]) - n_copied,
     }
+
+
+def _table_rows(spark: SparkSession, path: str, snap: dict) -> int:
+    """Row count at metadata cost: sum the blocks relation's n_rows column
+    (column-pruned scan), never a payload decode."""
+    from pyspark.sql import functions as F
+
+    b = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, snap.get("data_dir", "data"))
+    )
+    return int(b.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0])
 
 
 def merge_into(
@@ -240,7 +254,8 @@ def merge_into(
     if missing:
         raise KeyError(f"updates missing table column(s) {missing}")
     survivors = cur.join(updates.select(key_col), key_col, "left_anti")
-    n_before, n_updates = cur.count(), updates.count()
+    # counts at metadata scale: blocks' n_rows column, never a decode
+    n_before, n_updates = _table_rows(spark, path, snap), updates.count()
     merged = survivors.select(*cur.columns).unionByName(
         updates, allowMissingColumns=True
     )
@@ -253,9 +268,10 @@ def merge_into(
         block_rows=snap.get("block_rows", DEFAULT_BLOCK_ROWS),
         data_dirname=f"data-{gen}",
         manifest_dirname=f"manifest-{gen}",
+        bloom_cols=encode_kwargs.pop("bloom_cols", snap.get("bloom_cols") or None),
         **encode_kwargs,
     )
-    total = read_encoded(spark, path).count()
+    total = _table_rows(spark, path, read_snapshot(path))
     inserted = total - n_before
     return {"updated": n_updates - inserted, "inserted": inserted, "total": total}
 

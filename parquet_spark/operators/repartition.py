@@ -38,9 +38,10 @@ def plan_salted_buckets(
     # plain-name columns absent from the frame degrade WITHOUT round-
     # tripping an AnalysisException through the JVM (which logs a scary
     # ERROR even when caught); expressions still take the try/except path
-    if weight_col is not None and weight_col.isidentifier() and weight_col not in df.columns:
+    cols_ci = {c.lower() for c in df.columns}  # Spark resolves case-insensitively
+    if weight_col is not None and weight_col.isidentifier() and weight_col.lower() not in cols_ci:
         weight_col = None
-    if source_col.isidentifier() and source_col not in df.columns:
+    if source_col.isidentifier() and source_col.lower() not in cols_ci:
         return [(None, 0, target_partitions)]
     try:
         w = F.sum(F.expr(weight_col)).alias("w") if weight_col else F.count("*").alias("w")
@@ -73,7 +74,7 @@ def with_salted_bucket(
     """Attach the deterministic bucket id: offset(source) +
     pmod(xxhash64(salt_key), n_salts(source))."""
     spark = df.sparkSession
-    if salt_key.isidentifier() and salt_key not in df.columns:
+    if salt_key.isidentifier() and salt_key.lower() not in {c.lower() for c in df.columns}:
         salt = F.xxhash64(*[F.col(c) for c in df.columns])
     else:
         try:

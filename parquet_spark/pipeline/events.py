@@ -32,13 +32,15 @@ def sessionize(
     (unix_micros / epoch_us) so both engines see identical arithmetic."""
     gap_us = int(gap_minutes) * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    # unix_micros wants TIMESTAMP; sources often carry TIMESTAMP_NTZ —
-    # the cast is exact (same microsecond value under the session tz)
-    prev_us = F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
-    cur_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    start = F.when(prev_us.isNull() | (cur_us - prev_us > gap_us), 1).otherwise(0)
+    # timestampdiff is exact for TIMESTAMP and TIMESTAMP_NTZ alike — an
+    # NTZ→LTZ cast would shift by the DST offset in non-UTC session
+    # timezones and split sessions differently from the epoch arithmetic
+    # the oracle does
+    tagged = df.withColumn("__prev_ts", F.lag(ts_col).over(w))
+    diff_us = F.expr(f"timestampdiff(MICROSECOND, __prev_ts, `{ts_col}`)")
+    start = F.when(F.col("__prev_ts").isNull() | (diff_us > gap_us), 1).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn("session_num", F.sum(start).over(running))
+    return tagged.withColumn("session_num", F.sum(start).over(running)).drop("__prev_ts")
 
 
 def session_stats(
@@ -112,6 +114,19 @@ def asof_join(
     )
 
 
+def _epoch_us(df: DataFrame, colname: str):
+    """Microseconds on a tz-independent linear clock: NTZ columns measure
+    from the NTZ epoch (no session-timezone cast, so no DST shear), LTZ
+    from the instant epoch."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[colname].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{colname}`)"
+        )
+    return F.unix_micros(F.col(colname).cast("timestamp"))
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -132,9 +147,9 @@ def interval_join(
     multiply interval rows, longer bins multiply false candidates; both
     only cost work, never correctness."""
     bw = int(bin_minutes) * 60 * 1_000_000
-    pt_bin = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / bw)
-    iv_start = F.unix_micros(F.col(start_col).cast("timestamp"))
-    iv_end = F.unix_micros(F.col(end_col).cast("timestamp"))
+    pt_bin = F.floor(_epoch_us(points, ts_col) / bw)
+    iv_start = _epoch_us(intervals, start_col)
+    iv_end = _epoch_us(intervals, end_col)
     pts = points.withColumn("__bin", pt_bin)
     iv = intervals.withColumn(
         "__bin", F.explode(F.sequence(F.floor(iv_start / bw), F.floor(iv_end / bw)))
@@ -158,7 +173,7 @@ def time_rollup(
     widths that divide a day evenly align identically in Spark's window
     and DuckDB/TimescaleDB's time_bucket, which is what the oracle
     checks."""
-    w = F.window(F.col(ts_col).cast("timestamp"), f"{int(bucket_minutes)} minutes")
+    w = F.window(F.col(ts_col), f"{int(bucket_minutes)} minutes")
     keys = [w.start.alias("bucket_start")] + ([F.col(key_col)] if key_col else [])
     return df.groupBy(*keys).agg(
         F.count("*").alias("n_events"),

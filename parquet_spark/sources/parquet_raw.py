@@ -70,7 +70,9 @@ def _decimal_flba_len(precision: int) -> int:
 
 
 def _phys_of(t: pa.DataType) -> int | None:
-    if pa.types.is_decimal(t) or pa.types.is_fixed_size_binary(t):
+    # decimal128 only: decimal256 (precision > 38) is 32 bytes/value and
+    # the FLBA encode path reads 16 — reject at spec time, not corrupt
+    if pa.types.is_decimal128(t) or pa.types.is_fixed_size_binary(t):
         return T_FLBA
     if pa.types.is_timestamp(t) and t.unit in ("us", "ms"):
         return T_INT64  # naive or tz-aware: epoch ints either way
@@ -593,6 +595,15 @@ def write_file(
                 n_dense_total = sum(len(d) for d in dense_parts)
                 if use_dictionary and phys != T_BOOLEAN and n_dense_total:
                     auto_ok = phys not in (T_FLOAT, T_DOUBLE) or use_dictionary is True
+                    if auto_ok and use_dictionary == "auto" and n_dense_total > 8192:
+                        # cheap pre-probe: a high-cardinality SAMPLE means
+                        # the full chunk can't pass the ndv threshold —
+                        # skip the full hash-table build (unique ids etc.)
+                        import pyarrow.compute as pc
+
+                        samp = dense_parts[0].slice(0, 4096)
+                        if len(samp) and len(pc.unique(samp)) > len(samp) // 2:
+                            auto_ok = False
                     if auto_ok:
                         import pyarrow.compute as pc
 

@@ -80,6 +80,20 @@ class StreamingEncoder:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # a compaction/delete/merge that rewrote the table under a LIVE
+        # stream swaps the snapshot to a generation this encoder does not
+        # know; silently writing (and snapshotting) the stale dirname
+        # would resurrect rewritten-away data — refuse loudly instead
+        from parquet_spark.operators.encode import read_snapshot as _rs
+
+        live = _rs(self.path)
+        if live is not None and live.get("data_dir", "data") != self.data_dirname:
+            raise RuntimeError(
+                f"table {self.path} was rewritten under this stream (live "
+                f"generation {live.get('data_dir')!r} != sink's "
+                f"{self.data_dirname!r}); restart the stream against the "
+                "current snapshot"
+            )
         columns = list(batch_df.columns)
         if self.bucket_mode == "partition":
             # zero-shuffle micro-batches: a batch replay overwrites its

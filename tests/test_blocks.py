@@ -280,3 +280,17 @@ def test_decimal128_blocks_roundtrip():
     # sign-extension high words make the low-precision block tiny
     money = pa.array([Decimal("19.99"), Decimal("4.50")] * 4000, pa.decimal128(12, 2))
     assert len(blk.encode_array(money)) < 16 * len(money) // 20
+
+
+def test_decimal256_rejected_loudly():
+    """decimal256 (precision > 38) is 32 bytes/value — the 16-byte encode
+    path would silently corrupt it (review finding); reject at type
+    dispatch instead."""
+    import pyarrow as pa
+    import pytest
+
+    from parquet_spark.codecs import blocks as blk
+
+    arr = pa.array([123, -456, 7], pa.decimal256(50, 0))
+    with pytest.raises(TypeError, match="precision"):
+        blk.encode_array(arr)

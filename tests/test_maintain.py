@@ -369,3 +369,30 @@ def test_delete_where_copies_untouched_blocks(spark, tmp_path):
     assert back.count() == 55000 and back.where(F.col("doc_id") < 5000).count() == 0
     # stats pruning still works on the mixed copied+rewritten generation
     assert read_encoded(spark, path, where=("doc_id", "<", 10000)).count() == 5000
+
+
+def test_third_rewrite_does_not_clobber_retained_generation(spark, tmp_path):
+    """Regression (review finding): generation allocation must consult ALL
+    retained snapshots, not just the live one — otherwise the third
+    rewrite lands back in 'data' and silently corrupts sequence 1's
+    time travel."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+
+    path = str(tmp_path / "trw")
+    mk = lambda n, m: spark.range(0, n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * m).alias("v")
+    )
+    write_encoded(mk(400, 1), path, target_partitions=2, fingerprint="g1")
+    s1 = read_snapshot(path)["sequence"]
+    write_encoded(mk(500, 2), path, target_partitions=2, fingerprint="g2")
+    write_encoded(mk(600, 3), path, target_partitions=2, fingerprint="g3")
+    # sequence 1 must still read its own 400 rows, bit-exact
+    old = read_encoded(spark, path, as_of=s1)
+    assert old.count() == 400
+    assert old.agg(F.sum("v")).collect()[0][0] == sum(range(400))
+    assert read_encoded(spark, path).count() == 600
+    # resume=False rewrites get the same protection
+    write_encoded(mk(700, 4), path, target_partitions=2, resume=False, fingerprint="g4")
+    assert read_encoded(spark, path, as_of=s1).count() == 400
+    assert read_encoded(spark, path).count() == 700
