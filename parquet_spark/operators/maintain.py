@@ -119,8 +119,13 @@ def delete_where(
     contain a match — copied into the new generation byte-for-byte, no
     decode — and blocks that might, which alone are decoded, filtered,
     and re-encoded. A selective delete on a clustered column costs
-    O(matching blocks), not O(table). Returns
-    {deleted, remaining, blocks_copied, blocks_rewritten}."""
+    O(matching blocks), not O(table).
+
+    Batch-layout tables flatten: the new generation has no batch= dirs,
+    so later append_encoded calls refuse loudly (same as after
+    compact_table) and a live StreamingEncoder halts at its next batch
+    (stale-generation guard) instead of resurrecting deleted rows.
+    Returns {deleted, remaining, blocks_copied, blocks_rewritten}."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -238,6 +243,8 @@ def merge_into(
     ambiguity inside one commit is a bug, not a semantics.
     Plan shape: one left-anti hash join on the key (broadcast when the
     update set is small) + the standard encode; no per-row work.
+    Batch-layout tables flatten (appends then refuse loudly; a live
+    stream halts at its stale-generation guard).
     Returns {updated, inserted, total}."""
     from pyspark.sql import functions as F
 
