@@ -325,11 +325,21 @@ def write_snapshot(path: str, schema_json: str, columns: list[str], fingerprint:
     is retained (maintain.expire_snapshots is the retention knob). The
     history copy is written BEFORE the pointer swap, so a crash between
     the two leaves an unreferenced history entry the next commit simply
-    overwrites — never a live pointer without its history."""
+    overwrites — never a live pointer without its history.
+
+    Concurrency: the layout assumes a SINGLE committer per table at a
+    time (the Iceberg-without-a-catalog trade-off — there is no compare-
+    and-swap primitive on a bare object store). As a best-effort guard,
+    the sequence allocation skips past any `snap-N.json` that already
+    exists, so a racing committer that landed between our read and write
+    cannot have its history entry silently overwritten; the live pointer
+    is still last-writer-wins."""
     from parquet_spark import tablefs
 
     prev = read_snapshot(path)
     seq = int(prev.get("sequence", 0)) + 1 if prev else 1
+    while tablefs.exists(os.path.join(path, "snapshots", f"snap-{seq:08d}.json")):
+        seq += 1
     snap = {
         "version": 1,
         "sequence": seq,
@@ -690,12 +700,8 @@ def write_encoded(
 
     cur = read_snapshot(path)  # generation allocation must see the table
     snap = cur if resume else None  # resume logic must NOT (resume=False)
-    if snap and snap.get("fingerprint") == fp:
-        # resume must target the LIVE generation dirs (a compacted table's
-        # data may live under data-<gen>), not the caller's defaults
-        data_dirname = snap.get("data_dir", data_dirname)
-        manifest_dirname = snap.get("manifest_dir", manifest_dirname)
-    elif cur is not None:
+
+    def _fresh_generation(want_data: str, want_man: str) -> tuple[str, str]:
         # rewriting an existing table: allocate a fresh generation whenever
         # the target dir is referenced by ANY retained snapshot (not just
         # the live one — a third rewrite would otherwise clobber the dir a
@@ -704,9 +710,18 @@ def write_encoded(
         # generations are reclaimed only by maintain.expire_snapshots
         retained = {s.get("data_dir", "data") for s in list_snapshots(path)}
         retained.add(cur.get("data_dir", "data"))
-        if data_dirname in retained:
+        if want_data in retained:
             gen = uuid.uuid4().hex[:8]
-            data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
+            return f"data-{gen}", f"manifest-{gen}"
+        return want_data, want_man
+
+    if snap and snap.get("fingerprint") == fp:
+        # resume must target the LIVE generation dirs (a compacted table's
+        # data may live under data-<gen>), not the caller's defaults
+        data_dirname = snap.get("data_dir", data_dirname)
+        manifest_dirname = snap.get("manifest_dir", manifest_dirname)
+    elif cur is not None:
+        data_dirname, manifest_dirname = _fresh_generation(data_dirname, manifest_dirname)
     data_dir = os.path.join(path, data_dirname)
     man_dir = os.path.join(path, manifest_dirname)
     resuming = bool(snap and snap.get("fingerprint") == fp and tablefs.exists(data_dir))
@@ -772,6 +787,17 @@ def write_encoded(
             want_t is not None and want_t != target_partitions
         ):
             resuming = False
+
+    if snap is not None and not resuming and cur is not None:
+        # a resume invalidated mid-flight (partition-plan drift above, or
+        # the salted-plan mismatch just checked) had already aimed at the
+        # LIVE generation dirs; overwriting them in place would tear the
+        # live snapshot on a crash and break every retained sequence that
+        # references the generation — re-point at a fresh generation and
+        # keep copy-on-write intact
+        data_dirname, manifest_dirname = _fresh_generation(data_dirname, manifest_dirname)
+        data_dir = os.path.join(path, data_dirname)
+        man_dir = os.path.join(path, manifest_dirname)
 
     skipped = 0
     mode = "overwrite"

@@ -348,6 +348,7 @@ def compact_table(
         fingerprint=snap.get("fingerprint"),
         data_dirname=f"data-{gen}",
         manifest_dirname=f"manifest-{gen}",
+        bloom_cols=encode_kwargs.pop("bloom_cols", snap.get("bloom_cols") or None),
         **encode_kwargs,
     )
     # write_encoded's final atomic snapshot write IS the commit; everything

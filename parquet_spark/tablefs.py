@@ -137,17 +137,21 @@ def write_parquet_atomic(path: str, table, compression: str = "snappy") -> None:
 
 
 def move(src: str, dst: str) -> None:
-    """Move a file within one filesystem; copy+delete where the store has
-    no rename. (Directories only on rename-capable stores.)"""
-    fs, ps, atomic = resolve(src)
-    _, pd, _ = resolve(dst)
-    if atomic:
-        fs.move(ps, pd)
+    """Move a file; copy+delete where the store has no rename or when the
+    endpoints live on different filesystems. (Directories only via rename
+    on a single rename-capable store.)"""
+    fs_s, ps, atomic = resolve(src)
+    fs_d, pd, _ = resolve(dst)
+    same_fs = fs_s is fs_d or fs_s.equals(fs_d)
+    if same_fs and atomic:
+        fs_s.move(ps, pd)
         return
-    with fs.open_input_stream(ps) as fin, fs.open_output_stream(pd) as fout:
+    # cross-store (or rename-less) path: stream src -> dst on each side's
+    # own filesystem handle — renaming across stores is never possible
+    with fs_s.open_input_stream(ps) as fin, fs_d.open_output_stream(pd) as fout:
         while chunk := fin.read(4 << 20):
             fout.write(chunk)
-    fs.delete_file(ps)
+    fs_s.delete_file(ps)
 
 
 def delete_file(path: str) -> None:

@@ -3,6 +3,8 @@ rewritten at full block size with identical content."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -396,3 +398,65 @@ def test_third_rewrite_does_not_clobber_retained_generation(spark, tmp_path):
     write_encoded(mk(700, 4), path, target_partitions=2, resume=False, fingerprint="g4")
     assert read_encoded(spark, path, as_of=s1).count() == 400
     assert read_encoded(spark, path).count() == 700
+
+
+def test_invalidated_resume_is_copy_on_write(spark, tmp_path):
+    """Regression (advisor finding): a resume that is INVALIDATED mid-flight
+    (partition-plan conf drift / salted-plan mismatch) had already aimed at
+    the live generation dirs; the re-encode must allocate a fresh generation
+    instead of overwriting the live one in place — a crash mid-rewrite must
+    never tear the generation retained snapshots point at."""
+    import json
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+
+    path = str(tmp_path / "invres")
+    df = spark.range(0, 2000, 1, 4).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v")
+    )
+    write_encoded(df, path, target_partitions=4, fingerprint="ir1", resume=False, bucket_mode="partition")
+    s1 = read_snapshot(path)
+    old_dir = s1.get("data_dir", "data")
+    # simulate split-planning conf drift recorded at write time: the resume
+    # fingerprint matches, but the recorded partition plan no longer does
+    snap_file = os.path.join(path, "snapshot.json")
+    snap = json.loads(open(snap_file).read())
+    snap["partition_plan"]["maxPartitionBytes"] = "64MB"
+    open(snap_file, "w").write(json.dumps(snap))
+
+    write_encoded(df, path, target_partitions=4, fingerprint="ir1", resume=True, bucket_mode="partition")
+    s2 = read_snapshot(path)
+    assert s2["data_dir"] != old_dir, "invalidated resume overwrote the live generation"
+    # the superseded generation is intact for time travel
+    assert read_encoded(spark, path, as_of=s1["sequence"]).count() == 2000
+    assert read_encoded(spark, path).count() == 2000
+
+
+def test_compact_preserves_bloom_cols(spark, tmp_path):
+    """Regression (advisor finding): compacting a bloom-enabled table must
+    re-stamp the per-block bloom filters and carry bloom_cols into the new
+    snapshot — not silently drop equality pruning."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+    from parquet_spark.operators.maintain import compact_table
+
+    path = str(tmp_path / "cbloom")
+    df = spark.range(0, 8000, 1, 2).select(
+        F.md5(F.col("id").cast("string")).alias("key"), F.col("id").alias("v")
+    )
+    write_encoded(
+        df, path, target_partitions=4, block_rows=128, resume=False,
+        weight_col=None, source_col="v % 4", salt_key="v", bloom_cols=["key"],
+    )
+    rep = compact_table(spark, path, block_rows=4096, target_partitions=2,
+                        weight_col=None, source_col="v % 4", salt_key="v")
+    assert rep["compacted"]
+    snap = read_snapshot(path)
+    assert snap.get("bloom_cols") == ["key"]
+    files = _glob.glob(os.path.join(path, snap["data_dir"], "*.parquet"))
+    blooms = pq.read_table(files, columns=["_bloom_key"]).column("_bloom_key").to_pylist()
+    assert blooms and all(blooms), "compaction dropped the per-block bloom filters"

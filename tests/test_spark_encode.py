@@ -458,3 +458,25 @@ def test_decimal_write_read_encoded_with_pruning(spark, tmp_path):
     assert a == b
     pruned = read_encoded(spark, path, where=("price", ">", Decimal("25000.00")))
     assert pruned.count() == df.where(F.col("price") > 25000).count()
+
+
+def test_snapshot_sequence_skips_existing_history(spark, tmp_path):
+    """Regression (advisor finding): sequence allocation must skip past any
+    snap-N.json that already exists, so a racing committer's history entry
+    is never silently overwritten (single-committer is still the documented
+    contract; this is the best-effort guard)."""
+    import json
+
+    from parquet_spark.operators.encode import read_snapshot
+
+    df = sequences_df(spark, 200, seed=7, n_partitions=2)
+    path = str(tmp_path / "seqskip")
+    write_encoded(df, path, target_partitions=2, fingerprint="sq1", resume=False)
+    assert read_snapshot(path)["sequence"] == 1
+    # plant a foreign committer's history entry at the next sequence
+    foreign = os.path.join(path, "snapshots", "snap-00000002.json")
+    with open(foreign, "w") as fh:
+        json.dump({"sequence": 2, "marker": "foreign"}, fh)
+    write_encoded(df.limit(100), path, target_partitions=2, fingerprint="sq2", resume=False)
+    assert read_snapshot(path)["sequence"] == 3
+    assert json.load(open(foreign))["marker"] == "foreign"  # untouched

@@ -216,3 +216,25 @@ def test_list_infos_and_delete_any(tmp_path):
     tablefs.delete_any(str(d / "sub"))
     assert tablefs.list_infos(str(d)) == []
     assert tablefs.listdir(str(d / "missing")) == []
+
+
+def test_cross_filesystem_move(mockfs, tmp_path):
+    """Regression (advisor finding): move() with endpoints on DIFFERENT
+    filesystems must stream src->dst on each side's own handle (never
+    rename, never write to the wrong store)."""
+    src = tmp_path / "outside.bin"
+    src.write_bytes(b"payload" * 1000)
+    dst = "mock://moved/outside.bin"
+    tablefs.mkdirs("mock://moved")
+    tablefs.move(str(src), dst)
+    assert tablefs.read_bytes(dst) == b"payload" * 1000
+    assert not src.exists()
+    assert "move" not in mockfs.ops  # cross-store: copy+delete, no rename
+
+
+def test_same_local_filesystem_move_still_renames(tmp_path):
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"x")
+    tablefs.move(str(src), str(tmp_path / "b.bin"))
+    assert (tmp_path / "b.bin").read_bytes() == b"x"
+    assert not src.exists()
