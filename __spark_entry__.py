@@ -441,6 +441,58 @@ def _q_interop_parquet_struct(spark, sf_dir):
     )
 
 
+def _q_interop_parquet_person(spark, sf_dir):
+    """Interop of MIXED struct/list nesting — the reference's flagship
+    `Person` shape: optional struct -> repeated group -> optional leaf
+    (`hobby.skills[].name`, /root/reference/parquet_generated_test.go:
+    326-373; rep/def machinery dremel/read_repeated.go:62-118 +
+    write_repeated.go). The raw writer's general Dremel shredder
+    (sources/parquet_raw.py `_dremel_shred`) emits full rep/def level
+    chains per leaf; PYARROW (third-party) re-reads the file; the
+    flattened fields must hash-match an oracle computed straight from
+    lineitem — nulls at every nesting level, empty lists included."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from parquet_spark.sources import parquet_raw
+
+    ln, ok = F.col("l_linenumber"), F.col("l_orderkey")
+    skill = lambda tag, d: F.struct(  # noqa: E731
+        F.concat(F.lit(tag), ok.cast("string")).alias("sname"),
+        F.when(d, ln).alias("diff"),
+    )
+    src = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.when(
+            ln % 4 != 0,
+            F.struct(
+                F.col("l_returnflag").alias("name"),
+                # two exhaustive when-branches (no otherwise) keep the
+                # field NULLABLE so null-hobby slots convert to Arrow
+                F.when(ln % 2 == 0, F.array(skill("s", ln % 3 != 0), skill("t", F.lit(False))))
+                .when(ln % 2 != 0, F.array().cast(
+                    "array<struct<sname:string,diff:int>>"))
+                .alias("skills"),
+            ),
+        ).alias("hobby"),
+        F.when(ln % 5 != 0, F.array(F.array(ok), F.array(ok + 1, ln.cast("bigint"))))
+        .alias("matrix"),
+    )
+    path = tempfile.mkdtemp(prefix="psq-interop-") + "/person.parquet"
+    parquet_raw.write_file(path, src.toArrow(), compression="snappy")
+    back = pq.read_table(path)  # third-party reader proves the layout
+    rt = spark.createDataFrame(back)
+    return rt.select(
+        "l_orderkey", "l_linenumber",
+        F.col("hobby.name").alias("hobby_name"),
+        F.size(F.col("hobby.skills")).alias("n_skills"),
+        F.get(F.col("hobby.skills"), 0).getField("sname").alias("skill0"),
+        F.get(F.col("hobby.skills"), 0).getField("diff").alias("diff0"),
+        F.get(F.get(F.col("matrix"), 1), 1).alias("m11"),
+    )
+
+
 def _q_interop_parquet_dict(spark, sf_dir):
     """Dictionary-encoded standards-Parquet interop: the raw writer's
     per-chunk codec auto-selection (sources/parquet_raw.py write_file,
@@ -787,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolution_append": _q_evolution_append,
         "roundtrip_bloom_pruned": _q_roundtrip_bloom_pruned,
         "roundtrip_decimal": _q_roundtrip_decimal,
+        "interop_parquet_person": _q_interop_parquet_person,
         "interop_parquet_struct": _q_interop_parquet_struct,
         "interop_parquet_dict": _q_interop_parquet_dict,
         "interop_parquet_events": _q_interop_parquet_events,
@@ -871,6 +924,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE 'd' || md5(CAST(doc_id AS VARCHAR)) = 'd' || md5('42')"
         ),
         "interop_parquet_roundtrip": _INTEROP_SQL,
+        "interop_parquet_person": (
+            # flattened view of the Person shape: hobby struct is null when
+            # ln%4=0; skills list is EMPTY (not null) for odd ln, else two
+            # entries; diff of skill0 null when ln%3=0; matrix[1][1]=ln
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_linenumber % 4 <> 0 THEN l_returnflag END AS hobby_name, "
+            "CASE WHEN l_linenumber % 4 <> 0 THEN "
+            "CAST(CASE WHEN l_linenumber % 2 = 0 THEN 2 ELSE 0 END AS INTEGER) "
+            "END AS n_skills, "
+            "CASE WHEN l_linenumber % 4 <> 0 AND l_linenumber % 2 = 0 "
+            "THEN 's' || CAST(l_orderkey AS VARCHAR) END AS skill0, "
+            "CASE WHEN l_linenumber % 4 <> 0 AND l_linenumber % 2 = 0 "
+            "AND l_linenumber % 3 <> 0 THEN l_linenumber END AS diff0, "
+            "CASE WHEN l_linenumber % 5 <> 0 "
+            "THEN CAST(l_linenumber AS BIGINT) END AS m11 "
+            "FROM lineitem"
+        ),
         "interop_parquet_struct": (
             # flattened view of the nested struct: a null at any ancestor
             # level nulls every field beneath it (Dremel def-level chain)

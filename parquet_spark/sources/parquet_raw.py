@@ -374,6 +374,14 @@ def _list_levels(arr: pa.ListArray, outer_optional: bool, elem_optional: bool):
     return rep, defs, values.drop_null() if values.null_count else values, total
 
 
+def _contains_list(t: pa.DataType) -> bool:
+    if pa.types.is_list(t):
+        return True
+    if pa.types.is_struct(t):
+        return any(_contains_list(c.type) for c in t)
+    return False
+
+
 def _leaf_specs(schema: pa.Schema) -> list[dict]:
     """Flatten the schema into leaf write specs — the reference's
     dotted-path struct flattening (/root/reference/cmd/parquetgen/parse/
@@ -381,7 +389,13 @@ def _leaf_specs(schema: pa.Schema) -> list[dict]:
 
     kind="chain": non-repeated leaf (flat or nested in structs);
       path=[names...], chain=[(name, nullable)...], phys, leaf_type.
-    kind="list": one-level list column (Dremel rep/def layout)."""
+    kind="list": one-level list column (Dremel rep/def layout).
+    kind="dremel": leaf under MIXED nesting (list-of-struct, list inside
+      struct, nested lists — the reference's full Person shape,
+      parquet_generated_test.go:326-373): path carries the full
+      path_in_schema (incl. 'list'/'element' for each LIST level), ops is
+      the node walk `_dremel_shred` executes, max_def/max_rep the level
+      widths."""
     leaves: list[dict] = []
 
     def rec(f: pa.Field, path: list[str], chain: list[tuple[str, bool]]) -> None:
@@ -394,23 +408,103 @@ def _leaf_specs(schema: pa.Schema) -> list[dict]:
             leaves.append(dict(kind="chain", path=path, chain=chain,
                                phys=_phys_of(f.type), leaf_type=f.type))
         else:
-            raise TypeError(
-                f"unsupported type {f.type} for column {'.'.join(path)!r}"
-                + (" (lists inside structs not supported)" if pa.types.is_list(f.type) else "")
-            )
+            raise TypeError(f"unsupported type {f.type} for column {'.'.join(path)!r}")
+
+    def dremel(t: pa.DataType, nullable: bool, ops: list, path: list[str]) -> None:
+        # `ops` positions the shredder at this node's values; append this
+        # node's nullability marker, then descend
+        ops = ops + [("opt",) if nullable else ("req", ".".join(path))]
+        if pa.types.is_struct(t):
+            for child in t:
+                dremel(child.type, child.nullable,
+                       ops + [("struct", child.name)], path + [child.name])
+        elif pa.types.is_list(t):
+            elem = t.value_field
+            dremel(elem.type, elem.nullable, ops + [("rep",)],
+                   path + ["list", "element"])
+        elif _phys_of(t) is not None:
+            leaves.append(dict(
+                kind="dremel", path=path, ops=ops, phys=_phys_of(t), leaf_type=t,
+                max_def=sum(1 for o in ops if o[0] in ("opt", "rep")),
+                max_rep=sum(1 for o in ops if o[0] == "rep"),
+            ))
+        else:
+            raise TypeError(f"unsupported type {t} for column {'.'.join(path)!r}")
 
     for field in schema:
         if pa.types.is_list(field.type):
             elem = field.type.value_field
-            if _phys_of(elem.type) is None:
-                raise TypeError(
-                    f"unsupported list element type {elem.type} for column {field.name!r}"
-                )
-            leaves.append(dict(kind="list", path=[field.name], field=field,
-                               elem=elem, phys=_phys_of(elem.type)))
+            if _phys_of(elem.type) is not None:
+                leaves.append(dict(kind="list", path=[field.name], field=field,
+                                   elem=elem, phys=_phys_of(elem.type)))
+            else:
+                dremel(field.type, field.nullable, [], [field.name])
+        elif pa.types.is_struct(field.type) and _contains_list(field.type):
+            dremel(field.type, field.nullable, [], [field.name])
         else:
             rec(field, [], [])
     return leaves
+
+
+def _dremel_shred(arr: pa.Array, ops: list):
+    """General vectorized Dremel shredding of one leaf over arbitrary
+    struct/list nesting (the write side of the reference's
+    dremel/write_repeated.go generalized to any depth): executes the ops
+    walk from `_leaf_specs` and returns (rep, defs, dense_values,
+    n_entries). Dead slots (under a null ancestor) carry whatever Arrow
+    stores there — the live mask, not child validity, decides levels."""
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    rep = np.zeros(n, np.uint64)
+    defs = np.zeros(n, np.uint64)
+    live = np.ones(n, bool)
+    cur = arr
+    cur_rep = 0
+    for op in ops:
+        if op[0] == "opt":
+            nv = live & ~np.asarray(pc.is_null(cur))
+            defs[nv] += 1
+            live = nv
+        elif op[0] == "req":
+            if bool((np.asarray(pc.is_null(cur)) & live).any()):
+                raise ValueError(
+                    f"column {op[1]!r} is declared non-nullable but holds null(s)"
+                )
+        elif op[0] == "struct":
+            cur = cur.field(op[1])
+        else:  # ("rep",) — list expansion: slot count changes
+            cur_rep += 1
+            la = cur if not isinstance(cur, pa.ChunkedArray) else cur.combine_chunks()
+            lens = pc.list_value_length(la).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.where(live, lens, 0)
+            counts = np.maximum(lens, 1)  # every slot emits >= 1 entry
+            total = int(counts.sum())
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            new_rep = np.full(total, cur_rep, np.uint64)
+            new_rep[starts] = rep
+            new_defs = np.repeat(defs, counts)
+            is_elem = np.ones(total, bool)
+            placeholder = lens == 0
+            is_elem[starts[placeholder]] = False
+            new_defs[is_elem] += 1
+            # element j of slot i lives at offsets[i] + j in la.values
+            # (absolute offsets — pyarrow keeps them valid across slices)
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            val_idx = np.repeat(offs[:-1], counts) + pos
+            cur = la.values.take(
+                pa.array(np.where(is_elem, val_idx, 0), pa.int64(),
+                         mask=~is_elem)
+            )
+            rep, defs = new_rep, new_defs
+            live = np.repeat(live, counts) & is_elem
+    dense = cur.filter(pa.array(live)) if not bool(live.all()) else cur
+    # defined leaf slots are non-null by construction (opt trims, req
+    # raises) — a null here would desync defs from the value stream
+    assert dense.null_count == 0, "dremel shred produced null in dense values"
+    return rep, defs, dense, len(rep)
 
 
 def _chain_levels(top: pa.Array, chain: list[tuple[str, bool]]):
@@ -445,24 +539,29 @@ def _chain_levels(top: pa.Array, chain: list[tuple[str, bool]]):
 
 
 def _emit_schema_elem(w: "TCWriter", field: pa.Field) -> None:
-    """Recursive SchemaElement emission (ids ascending: 1 type,
-    3 repetition, 4 name, 5 num_children, 6 converted_type)."""
-    if pa.types.is_struct(field.type):
+    _emit_any_elem(w, field.name, field.type, field.nullable)
+
+
+def _emit_any_elem(w: "TCWriter", name: str, t: pa.DataType, nullable: bool) -> None:
+    """Recursive SchemaElement emission for any nesting of structs and
+    lists (ids ascending: 1 type, 3 repetition, 4 name, 5 num_children,
+    6 converted_type)."""
+    if pa.types.is_struct(t):
         w.elem_struct_begin()
-        w.i32(3, OPTIONAL if field.nullable else REQUIRED)
-        w.binary(4, field.name)
-        w.i32(5, field.type.num_fields)
+        w.i32(3, OPTIONAL if nullable else REQUIRED)
+        w.binary(4, name)
+        w.i32(5, t.num_fields)
         w.elem_struct_end()
-        for child in field.type:
-            _emit_schema_elem(w, child)
+        for child in t:
+            _emit_any_elem(w, child.name, child.type, child.nullable)
         return
-    if pa.types.is_list(field.type):
-        elem = field.type.value_field
+    if pa.types.is_list(t):
+        elem = t.value_field
         # 3-level LIST: <repetition> group name (LIST) {
         #   repeated group list { <elem-repetition> element } }
         w.elem_struct_begin()
-        w.i32(3, OPTIONAL if field.nullable else REQUIRED)
-        w.binary(4, field.name)
+        w.i32(3, OPTIONAL if nullable else REQUIRED)
+        w.binary(4, name)
         w.i32(5, 1)
         w.i32(6, CONVERTED_LIST)
         w.elem_struct_end()
@@ -471,9 +570,9 @@ def _emit_schema_elem(w: "TCWriter", field: pa.Field) -> None:
         w.binary(4, "list")
         w.i32(5, 1)
         w.elem_struct_end()
-        _emit_primitive_elem(w, "element", elem.type, elem.nullable)
+        _emit_any_elem(w, "element", elem.type, elem.nullable)
         return
-    _emit_primitive_elem(w, field.name, field.type, field.nullable)
+    _emit_primitive_elem(w, name, t, nullable)
 
 
 def _emit_primitive_elem(w: "TCWriter", name: str, t: pa.DataType, nullable: bool) -> None:
@@ -498,9 +597,15 @@ def _emit_primitive_elem(w: "TCWriter", name: str, t: pa.DataType, nullable: boo
 
 
 def _schema_elem_count(field: pa.Field) -> int:
-    if pa.types.is_struct(field.type):
-        return 1 + sum(_schema_elem_count(c) for c in field.type)
-    return 3 if pa.types.is_list(field.type) else 1
+    return _count_any_elem(field.type)
+
+
+def _count_any_elem(t: pa.DataType) -> int:
+    if pa.types.is_struct(t):
+        return 1 + sum(_count_any_elem(c.type) for c in t)
+    if pa.types.is_list(t):
+        return 2 + _count_any_elem(t.value_type)
+    return 1
 
 
 def write_file(
@@ -548,6 +653,7 @@ def write_file(
                 col = rg_tbl.column(leaf["path"][0])
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 is_list = leaf["kind"] == "list"
+                is_dremel = leaf["kind"] == "dremel"
                 if is_list:
                     field, elem = leaf["field"], leaf["elem"]
                     optional = field.nullable
@@ -576,6 +682,14 @@ def write_file(
                         # values (Dremel layout, ref fields.go:232-271)
                         rep, defs, dense, n_vals = _list_levels(page, optional, elem.nullable)
                         lv = rle.encode(rep, 1) + rle.encode(defs, _bit_width(max_def))
+                    elif is_dremel:
+                        # mixed struct/list nesting: general shredder walk
+                        rep, defs, dense, n_vals = _dremel_shred(page, leaf["ops"])
+                        lv = (
+                            rle.encode(rep, _bit_width(leaf["max_rep"])) if leaf["max_rep"] else b""
+                        ) + (
+                            rle.encode(defs, _bit_width(leaf["max_def"])) if leaf["max_def"] else b""
+                        )
                     else:
                         # a REQUIRED chain writes no def levels, so a null
                         # under a defined parent would silently produce a
@@ -654,7 +768,8 @@ def write_file(
                     hdr.i32(2, ENC_RLE_DICT if denc is not None else ENC_PLAIN)
                     hdr.i32(3, ENC_RLE)  # definition levels
                     # repetition levels: RLE when present, BIT_PACKED marker when flat
-                    hdr.i32(4, ENC_RLE if is_list else ENC_BIT_PACKED)
+                    has_rep = is_list or (is_dremel and leaf["max_rep"] > 0)
+                    hdr.i32(4, ENC_RLE if has_rep else ENC_BIT_PACKED)
                     hdr.struct_end()
                     page_bytes = hdr.finish() + comp_body
                     f.write(page_bytes)
@@ -668,7 +783,7 @@ def write_file(
                     dict(name=dotted, phys=phys, n_values=n_values_total, codec=codec_id,
                          uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset,
                          dict_off=dict_off, encs=encs,
-                         path=leaf["path"] if not is_list else [leaf["path"][0], "list", "element"])
+                         path=[leaf["path"][0], "list", "element"] if is_list else leaf["path"])
                 )
                 s = summary.setdefault(dotted, {"pages": 0, "bytes": 0})
                 s["pages"] += n_pages
@@ -798,89 +913,136 @@ def read_metadata(path: str) -> dict:
 
 def _parse_schema(elems: list[dict]) -> list[dict]:
     """Depth-first SchemaElement walk → one info dict per top-level column.
-    Supported shapes: flat primitive leaves; one-level lists in the
-    3-level LIST layout, the 2-level layout (repeated leaf under a group),
-    the reference's bare repeated leaf (fields.go:232-271); and nested
-    STRUCT groups of arbitrary depth with primitive leaves (the
-    reference's dotted-path flatten, parse.go:108-114) — each leaf an
-    independent chunk whose def levels count defined optional ancestors.
-    Lists inside structs / structs inside lists raise NotImplementedError.
 
-    Struct top-level infos: {name, kind: "struct", node: tree} where tree
-    nodes carry opt_count (cumulative optional depth) and leaves carry
-    max_def + dotted path."""
+    Shapes with dedicated fast paths keep their legacy info format: flat
+    primitive leaves; one-level lists of primitives (3-level LIST layout,
+    2-level repeated-leaf-under-group, and the reference's bare repeated
+    leaf, fields.go:232-271); pure nested STRUCT groups of primitives
+    (the reference's dotted-path flatten, parse.go:108-114).
+
+    Everything else — list-of-struct, lists inside structs, nested lists,
+    repeated groups (the reference's full Person shape,
+    parquet_generated_test.go:326-373) — classifies as kind="dremel" with
+    an assembly tree consumed by `_assemble_dremel`."""
     root = elems[0]
     idx = 1
 
-    def parse(depth_opt: int, path: list[str]) -> dict:
+    def parse_raw() -> dict:
         nonlocal idx
         e = elems[idx]
         idx += 1
-        name = e[4].decode()
-        rep_t = e.get(3, REQUIRED)
-        nchild = e.get(5, 0)
-        dotted_parent = ".".join(path + [name])
-        if nchild == 0 and rep_t == REPEATED:
-            if path:
-                raise NotImplementedError(
-                    f"column {dotted_parent!r}: repeated field inside struct not supported"
-                )
+        node = dict(name=e[4].decode(), rep_t=e.get(3, REQUIRED), conv=e.get(6),
+                    phys=e.get(1), tlen=e.get(2), scale=e.get(7, 0), prec=e.get(8),
+                    children=None)
+        n = e.get(5, 0)
+        if n:
+            node["children"] = [parse_raw() for _ in range(n)]
+        return node
+
+    return [_classify_column(parse_raw()) for _ in range(root[5])]
+
+
+def _no_repetition(c: dict) -> bool:
+    if c["rep_t"] == REPEATED:
+        return False
+    if c["children"] is None:
+        return True
+    return all(_no_repetition(x) for x in c["children"])
+
+
+def _classify_column(c: dict) -> dict:
+    name = c["name"]
+    ch = c["children"]
+    if ch is None:
+        if c["rep_t"] == REPEATED:
             # bare repeated leaf: a list with no null/empty distinction
-            return dict(name=name, kind="list", phys=e[1], elem_conv=e.get(6),
-                        elem_tlen=e.get(2), elem_scale=e.get(7, 0), elem_prec=e.get(8),
+            return dict(name=name, kind="list", phys=c["phys"], elem_conv=c["conv"],
+                        elem_tlen=c["tlen"], elem_scale=c["scale"], elem_prec=c["prec"],
                         d_list=0, d_entry=1, d_valid=1, elem_opt=False, outer_opt=False)
-        if nchild == 0:
-            opt = rep_t == OPTIONAL
-            max_def = depth_opt + (1 if opt else 0)
-            return dict(name=name, kind="leaf", phys=e[1], conv=e.get(6), opt=opt,
-                        tlen=e.get(2), scale=e.get(7, 0), prec=e.get(8),
-                        max_def=max_def, path=dotted_parent)
-        outer_opt = rep_t == OPTIONAL
-        if nchild == 1 and elems[idx].get(3, REQUIRED) == REPEATED:
-            if path:
-                raise NotImplementedError(
-                    f"column {dotted_parent!r}: list inside struct not supported"
-                )
-            d_list = 1 if outer_opt else 0
-            mid = elems[idx]
-            idx += 1
-            mid_child = mid.get(5, 0)
-            if mid_child == 0:
-                # 2-level list: repeated leaf directly under the outer group
-                return dict(name=name, kind="list", phys=mid[1], elem_conv=mid.get(6),
-                            elem_tlen=mid.get(2), elem_scale=mid.get(7, 0), elem_prec=mid.get(8),
-                            d_list=d_list, d_entry=d_list + 1, d_valid=d_list + 1,
-                            elem_opt=False, outer_opt=outer_opt)
-            if mid_child != 1:
-                raise NotImplementedError(f"column {name!r}: nested struct inside list not supported")
-            leaf = elems[idx]
-            idx += 1
-            if leaf.get(5, 0):
-                raise NotImplementedError(f"column {name!r}: nested lists not supported")
-            elem_opt = leaf.get(3, REQUIRED) == OPTIONAL
-            return dict(name=name, kind="list", phys=leaf[1], elem_conv=leaf.get(6),
-                        elem_tlen=leaf.get(2), elem_scale=leaf.get(7, 0), elem_prec=leaf.get(8),
+        opt = c["rep_t"] == OPTIONAL
+        return dict(name=name, kind="flat", phys=c["phys"], conv=c["conv"], opt=opt,
+                    tlen=c["tlen"], scale=c["scale"], prec=c["prec"],
+                    max_def=1 if opt else 0, path=name)
+    outer_opt = c["rep_t"] == OPTIONAL
+    if len(ch) == 1 and ch[0]["rep_t"] == REPEATED:
+        mid = ch[0]
+        d_list = 1 if outer_opt else 0
+        if mid["children"] is None:
+            # 2-level list: repeated leaf directly under the outer group
+            return dict(name=name, kind="list", phys=mid["phys"], elem_conv=mid["conv"],
+                        elem_tlen=mid["tlen"], elem_scale=mid["scale"], elem_prec=mid["prec"],
+                        d_list=d_list, d_entry=d_list + 1, d_valid=d_list + 1,
+                        elem_opt=False, outer_opt=outer_opt)
+        if (len(mid["children"]) == 1 and mid["children"][0]["children"] is None
+                and mid["children"][0]["rep_t"] != REPEATED):
+            leaf = mid["children"][0]
+            elem_opt = leaf["rep_t"] == OPTIONAL
+            return dict(name=name, kind="list", phys=leaf["phys"], elem_conv=leaf["conv"],
+                        elem_tlen=leaf["tlen"], elem_scale=leaf["scale"], elem_prec=leaf["prec"],
                         d_list=d_list, d_entry=d_list + 1,
                         d_valid=d_list + 1 + (1 if elem_opt else 0),
                         elem_opt=elem_opt, outer_opt=outer_opt)
-        # struct group: recurse over children (leaves or nested structs)
-        d = depth_opt + (1 if outer_opt else 0)
-        children = [parse(d, path + [name]) for _ in range(nchild)]
-        for c in children:
-            if c["kind"] not in ("leaf", "struct"):
-                raise NotImplementedError(
-                    f"column {dotted_parent!r}: {c['kind']} inside struct not supported"
-                )
-        return dict(name=name, kind="struct", opt=outer_opt, opt_count=d,
-                    children=children, path=dotted_parent)
+    if _no_repetition(c):
+        return _legacy_struct(c, 0, [])
+    tree, leaves = _dremel_tree(c)
+    return dict(name=name, kind="dremel", tree=tree, leaves=leaves)
 
-    out = []
-    for _ in range(root[5]):
-        node = parse(0, [])
-        if node["kind"] == "leaf":
-            node = dict(node, kind="flat")
-        out.append(node)
-    return out
+
+def _legacy_struct(c: dict, depth_opt: int, path: list[str]) -> dict:
+    """Legacy struct info (kind='struct'/'leaf') for repetition-free
+    nested groups — unchanged def-chain semantics."""
+    opt = c["rep_t"] == OPTIONAL
+    dotted = ".".join(path + [c["name"]])
+    if c["children"] is None:
+        return dict(name=c["name"], kind="leaf", phys=c["phys"], conv=c["conv"], opt=opt,
+                    tlen=c["tlen"], scale=c["scale"], prec=c["prec"],
+                    max_def=depth_opt + (1 if opt else 0), path=dotted)
+    d = depth_opt + (1 if opt else 0)
+    children = [_legacy_struct(x, d, path + [c["name"]]) for x in c["children"]]
+    return dict(name=c["name"], kind="struct", opt=opt, opt_count=d,
+                children=children, path=dotted)
+
+
+def _dremel_tree(c: dict) -> tuple[dict, list[dict]]:
+    """Raw schema node → general assembly tree. Node kinds:
+      {node:'leaf', name, opt, phys, conv, tlen, scale, prec,
+       path (dotted chunk path), max_def, max_rep}
+      {node:'struct', name, opt, children}
+      {node:'list', name, opt, elem}
+    A REPEATED field (group or leaf) is modelled as a non-nullable list
+    whose element is the field itself made REQUIRED — the 2-level layout
+    the reference emits for `repeated group skills {...}`; the
+    LIST-annotated 3-level layout gets its own match."""
+    leaves: list[dict] = []
+
+    def conv(node: dict, parent_path: list[str], cur_def: int, cur_rep: int) -> dict:
+        if node["rep_t"] == REPEATED:
+            inner = dict(node, rep_t=REQUIRED)
+            elem = conv(inner, parent_path, cur_def + 1, cur_rep + 1)
+            return dict(node="list", name=node["name"], opt=False, elem=elem)
+        opt = node["rep_t"] == OPTIONAL
+        d = cur_def + (1 if opt else 0)
+        path_here = parent_path + [node["name"]]
+        ch = node["children"]
+        if ch is None:
+            leaf = dict(node="leaf", name=node["name"], opt=opt, phys=node["phys"],
+                        conv=node["conv"], tlen=node["tlen"], scale=node["scale"],
+                        prec=node["prec"], path=".".join(path_here),
+                        max_def=d, max_rep=cur_rep)
+            leaves.append(leaf)
+            return leaf
+        if (len(ch) == 1 and ch[0]["rep_t"] == REPEATED and ch[0]["children"] is not None
+                and len(ch[0]["children"]) == 1
+                and (node["conv"] == CONVERTED_LIST
+                     or ch[0]["name"] in ("list", "bag", "array"))):
+            mid = ch[0]
+            elem = conv(mid["children"][0], path_here + [mid["name"]], d + 1, cur_rep + 1)
+            return dict(node="list", name=node["name"], opt=opt, elem=elem)
+        children = [conv(x, path_here, d, cur_rep) for x in ch]
+        return dict(node="struct", name=node["name"], opt=opt, children=children)
+
+    tree = conv(c, [], 0, 0)
+    return tree, leaves
 
 
 def _struct_leaves(node: dict) -> list[dict]:
@@ -981,11 +1143,98 @@ def _assemble_list(rep: np.ndarray, defs: np.ndarray, dense: pa.Array, info: dic
     return pa.ListArray.from_arrays(off_arr, dense)
 
 
+def _assemble_dremel(info: dict, acc: dict) -> pa.Array:
+    """General Dremel record assembly for a mixed struct/list column (the
+    read side of /root/reference/cmd/parquetgen/dremel/read_repeated.go
+    generalized to any nesting, vectorized): per-leaf (rep, defs, dense)
+    streams → nested Arrow array. Shared ancestors take offsets/validity
+    from the first leaf beneath them — sibling leaves carry identical
+    level structure up to their common ancestor by construction."""
+
+    def leaves_of(node):
+        if node["node"] == "leaf":
+            return [node]
+        if node["node"] == "list":
+            return leaves_of(node["elem"])
+        out = []
+        for c in node["children"]:
+            out.extend(leaves_of(c))
+        return out
+
+    data: dict = {}
+    for lf in info["leaves"]:
+        parts = acc.get(lf["path"], [])
+        if parts:
+            rep = np.concatenate([p[0] for p in parts]) if len(parts) > 1 else parts[0][0]
+            defs = np.concatenate([p[1] for p in parts]) if len(parts) > 1 else parts[0][1]
+            dense = pa.concat_arrays([p[2] for p in parts]) if len(parts) > 1 else parts[0][2]
+        else:
+            rep, defs = np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+            dense = pa.array([], _empty_type(dict(lf, kind="leaf")))
+        data[lf["path"]] = (rep, defs, dense)
+
+    def build(node, idxs, cur_def, cur_rep):
+        ref = leaves_of(node)[0]["path"]
+        ref_rep, ref_defs, _ = data[ref]
+        my_idx = idxs[ref]
+        if node["node"] == "leaf":
+            d = cur_def + (1 if node["opt"] else 0)  # == node's max_def
+            _, defs_l, dense = data[node["path"]]
+            defined = defs_l[my_idx] >= d
+            n = len(my_idx)
+            if bool(defined.all()) and len(dense) == n:
+                return dense
+            pos = np.zeros(n, np.int64)
+            pos[defined] = np.arange(int(defined.sum()))
+            if node["opt"] or len(dense) == 0:
+                return dense.take(pa.array(pos, pa.int64(), mask=~defined))
+            # non-nullable leaf: dead slots (null ancestor) must still hold
+            # a valid value — reuse dense[0]; the ancestor's mask hides it
+            return dense.take(pa.array(pos, pa.int64()))
+        if node["node"] == "struct":
+            d = cur_def + (1 if node["opt"] else 0)
+            children = [build(c, idxs, d, cur_rep) for c in node["children"]]
+            fields = [
+                pa.field(c["name"], a.type, nullable=c.get("opt", True))
+                for c, a in zip(node["children"], children)
+            ]
+            mask = None
+            if node["opt"]:
+                defined = ref_defs[my_idx] >= d
+                if not bool(defined.all()):
+                    mask = pa.array(~defined)
+            return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+        # list node: one repetition level deeper
+        d = cur_def + (1 if node["opt"] else 0)
+        k = cur_rep + 1
+        d_elem = d + 1  # def level meaning ">= 1 element at this level"
+        sub = {}
+        for lf in leaves_of(node):
+            rl, dl, _ = data[lf["path"]]
+            sub[lf["path"]] = np.flatnonzero((rl <= k) & (dl >= d_elem))
+        child = build(node["elem"], sub, d_elem, k)
+        child_entries = sub[ref]
+        hi = np.append(my_idx[1:], len(ref_rep))
+        lens = np.searchsorted(child_entries, hi) - np.searchsorted(child_entries, my_idx)
+        offsets = np.zeros(len(my_idx) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        mask = None
+        if node["opt"]:
+            null_slots = ref_defs[my_idx] < d
+            if null_slots.any():
+                mask = np.append(null_slots, False)
+        off_arr = pa.array(offsets.astype(np.int32), pa.int32(), mask=mask)
+        return pa.ListArray.from_arrays(off_arr, child)
+
+    idxs = {lf["path"]: np.flatnonzero(data[lf["path"]][0] == 0) for lf in info["leaves"]}
+    return build(info["tree"], idxs, 0, 0)
+
+
 def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Read a Parquet v1 file (flat, one-level-list, or nested-struct
-    schema; PLAIN or dictionary-encoded, incl. dict-encoded list
-    elements) into a pa.Table, using only this module's parsers and the
-    engine's plain/rle kernels."""
+    """Read a Parquet v1 file (flat, one-level-list, nested-struct, or
+    mixed struct/list nesting; PLAIN or dictionary-encoded, incl.
+    dict-encoded list elements) into a pa.Table, using only this module's
+    parsers and the engine's plain/rle kernels."""
     parsed = read_metadata(path)
     data, meta = memoryview(parsed["_raw"]), parsed["meta"]
     infos = _parse_schema(meta[2])
@@ -1004,12 +1253,16 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
         if i["kind"] == "struct":
             for lf in _struct_leaves(i):
                 leaf_of[lf["path"]] = dict(lf, kind="struct_leaf")
+        elif i["kind"] == "dremel":
+            for lf in i["leaves"]:
+                leaf_of[lf["path"]] = dict(lf, kind="dremel_leaf")
         elif i["kind"] == "flat":
             leaf_of[i["name"]] = i
 
     want_set = set(want)
     arrays: dict[str, list[pa.Array]] = {}
     defs_acc: dict[str, list[np.ndarray]] = {}
+    dremel_acc: dict[str, list[tuple]] = {}
     for rg in meta[4]:
         for chunk in rg[1]:
             cm = chunk[3]
@@ -1074,6 +1327,33 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
                     raise NotImplementedError(f"value encoding {enc}")
                 info = leaf_of.get(dotted) or by_name[name]
                 off = 0
+                if info["kind"] == "dremel_leaf":
+                    # mixed struct/list leaf: rep + def level streams feed
+                    # the general assembler after all chunks are decoded
+                    max_rep, max_def = info["max_rep"], info["max_def"]
+                    if max_rep:
+                        if dph.get(4) != ENC_RLE:
+                            raise NotImplementedError(
+                                f"repetition-level encoding {dph.get(4)}")
+                        reps, consumed = rle.decode(body, n_vals, _bit_width(max_rep))
+                        off += consumed
+                    else:
+                        reps = np.zeros(n_vals, np.uint64)
+                    if max_def:
+                        if def_enc != ENC_RLE:
+                            raise NotImplementedError(
+                                f"definition-level encoding {def_enc}")
+                        defs, consumed = rle.decode(body[off:], n_vals, _bit_width(max_def))
+                        off += consumed
+                    else:
+                        defs = np.zeros(n_vals, np.uint64)
+                    n_dense = int((defs == max_def).sum()) if max_def else n_vals
+                    dense = _decode_values(body, off, n_dense, phys, enc, dict_vals, name, tlen_c)
+                    dense = _convert_values(dense, info["conv"],
+                                            info.get("scale", 0), info.get("prec"))
+                    dremel_acc.setdefault(dotted, []).append((reps, defs, dense))
+                    got += n_vals
+                    continue
                 if info["kind"] == "list":
                     rep_enc = dph.get(4)
                     if rep_enc != ENC_RLE:
@@ -1121,6 +1401,9 @@ def read_file(path: str, columns: list[str] | None = None) -> pa.Table:
         top = by_name[c]
         if top["kind"] == "struct":
             out.append(_assemble_struct_column(top, arrays, defs_acc))
+            continue
+        if top["kind"] == "dremel":
+            out.append(_assemble_dremel(top, dremel_acc))
             continue
         chunks = arrays.get(c, [])
         if not chunks:  # zero-row file

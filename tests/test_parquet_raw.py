@@ -599,3 +599,133 @@ def test_temporal_interop_both_directions(tmp_path):
     assert got.schema.field("ts").type == pa.timestamp("us")
     assert got.schema.field("d").type == pa.date32()
     assert got.cast(t.schema).equals(t)
+
+
+# ---------------------------------------------------------------------------
+# Mixed struct/list nesting (general Dremel path) — the reference's full
+# Person shape: optional struct -> repeated group -> optional leaf
+# (/root/reference/parquet_generated_test.go:326-373, shred machinery
+# dremel/read_repeated.go:62-118 + write_repeated.go).
+# ---------------------------------------------------------------------------
+
+
+def _person_table(n: int = 120) -> pa.Table:
+    """Arrow-level Person: every nesting combination the reference's test
+    matrix covers (required/optional scalars, optional struct with a
+    repeated-struct member whose fields are optional, repeated structs,
+    nested lists)."""
+    skills_t = pa.list_(pa.struct([
+        pa.field("name", pa.string(), nullable=False),
+        pa.field("difficulty", pa.string()),
+    ]))
+    hobby_t = pa.struct([
+        pa.field("name", pa.string(), nullable=False),
+        pa.field("difficulty", pa.int32()),
+        pa.field("skills", skills_t),
+    ])
+    friends_t = pa.list_(pa.struct([
+        pa.field("id", pa.int32(), nullable=False),
+        pa.field("name", pa.string()),
+        pa.field("age", pa.int32()),
+    ]))
+    hobbies, friends, matrix = [], [], []
+    for i in range(n):
+        if i % 4 == 0:
+            hobbies.append(None)
+        else:
+            skills = (None if i % 5 == 0 else [
+                {"name": f"skill{j}", "difficulty": None if (i + j) % 3 == 0 else f"d{j}"}
+                for j in range(i % 4)
+            ])
+            hobbies.append({"name": f"hobby{i % 7}",
+                            "difficulty": None if i % 3 == 0 else i % 10,
+                            "skills": skills})
+        friends.append(None if i % 3 == 1 else [
+            {"id": i * 10 + k, "name": None if k == 1 else f"friend{k}",
+             "age": None if (i + k) % 2 else (i + k) % 90}
+            for k in range(i % 4)
+        ])
+        matrix.append(None if i % 11 == 0 else
+                      [None if (i + r) % 7 == 0 else
+                       [None if (i + r + c) % 5 == 0 else i + r * 10 + c
+                        for c in range(r % 3)]
+                       for r in range(i % 3)])
+    return pa.table({
+        "id": pa.array(range(n), pa.int32()),
+        "name": pa.array([f"p{i}" for i in range(n)], pa.string()),
+        "age": pa.array([None if i % 2 else i % 100 for i in range(n)], pa.int32()),
+        "hobby": pa.array(hobbies, hobby_t),
+        "friends": pa.array(friends, friends_t),
+        "matrix": pa.array(matrix, pa.list_(pa.list_(pa.int64()))),
+    })
+
+
+def _cols_equal(got: pa.Table, want: pa.Table) -> bool:
+    return all(
+        got.column(c).combine_chunks().equals(want.column(c).combine_chunks())
+        for c in want.column_names
+    )
+
+
+@pytest.mark.parametrize("compression", ["none", "snappy", "zstd"])
+@pytest.mark.parametrize("page_rows", [17, 65536])
+def test_dremel_person_all_readers(tmp_path, compression, page_rows):
+    import duckdb
+
+    tbl = _person_table()
+    p = str(tmp_path / "person.parquet")
+    praw.write_file(p, tbl, compression=compression, page_rows=page_rows)
+    assert _cols_equal(pq.read_table(p), tbl)                    # pyarrow opens it
+    got_dd = duckdb.query(f"SELECT * FROM read_parquet('{p}')").arrow()
+    # duckdb drops not-null flags — compare semantically
+    assert got_dd.to_pylist() == tbl.to_pylist()                 # duckdb opens it
+    got = praw.read_file(p)                                      # we open it
+    got.validate(full=True)
+    assert _cols_equal(got, tbl)
+
+
+def test_dremel_multi_row_group(tmp_path):
+    tbl = _person_table(90)
+    p = str(tmp_path / "person_rg.parquet")
+    praw.write_file(p, tbl, compression="snappy", row_group_rows=25)
+    assert pq.ParquetFile(p).num_row_groups == 4
+    assert _cols_equal(pq.read_table(p), tbl)
+    assert _cols_equal(praw.read_file(p), tbl)
+
+
+@pytest.mark.parametrize("dic", [False, True])
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_dremel_foreign_written(tmp_path, dic, version):
+    tbl = _person_table()
+    p = str(tmp_path / "pa.parquet")
+    pq.write_table(tbl, p, compression="snappy", use_dictionary=dic,
+                   data_page_version=version)
+    got = praw.read_file(p)
+    got.validate(full=True)
+    assert _cols_equal(got, tbl)
+
+
+def test_dremel_projection_and_edge_rows(tmp_path):
+    tbl = _person_table(40)
+    p = str(tmp_path / "proj.parquet")
+    praw.write_file(p, tbl)
+    got = praw.read_file(p, columns=["hobby", "id"])
+    assert got.column_names == ["hobby", "id"]
+    assert _cols_equal(got, tbl.select(["hobby", "id"]))
+    # all-null / all-empty outer column still round-trips
+    t2 = pa.table({
+        "x": pa.array([None, None, None], pa.list_(pa.struct([pa.field("v", pa.int64())]))),
+        "y": pa.array([[], [], []], pa.list_(pa.list_(pa.int32()))),
+    })
+    p2 = str(tmp_path / "edge.parquet")
+    praw.write_file(p2, t2)
+    assert _cols_equal(pq.read_table(p2), t2)
+    assert _cols_equal(praw.read_file(p2), t2)
+
+
+def test_dremel_required_violation_raises(tmp_path):
+    t = pa.table({"s": pa.array(
+        [[{"k": "a"}, {"k": None}]],
+        pa.list_(pa.struct([pa.field("k", pa.string(), nullable=False)])))})
+    with pytest.raises(ValueError, match="non-nullable"):
+        praw.write_file(str(tmp_path / "bad.parquet"), t)
