@@ -96,7 +96,11 @@ def main() -> None:
     # interleaving means both legs sample the same noise distribution;
     # round 1 timed the baseline once and compared it to a min, which
     # inflated the speed ratio (VERDICT r1 #3).
-    n_reps = int(os.environ.get("SPARK_GRAFT_ENCODE_REPS", "5" if cpus >= 16 else "3"))
+    # min-of-9 at driver core counts (VERDICT r4: min-of-5 let one
+    # congested host stretch set the round's headline — r04's own window
+    # read 2.12x on unchanged code while adjacent runs read 1.37-1.53x;
+    # more interleaved rounds per leg is the honest fix, not window-picking)
+    n_reps = int(os.environ.get("SPARK_GRAFT_ENCODE_REPS", "9" if cpus >= 16 else "5"))
     enc_path = os.path.join(work, "encoded")
     pq_path = os.path.join(work, "parquet_baseline")
     enc_runs, pq_runs = [], []
@@ -159,6 +163,12 @@ def main() -> None:
     extras["speed_ratio_vs_parquet_write"] = (
         timings["parquet_write_baseline"] / timings["encode_sequences"]
     )
+    # secondary, noise-robust estimator: each interleaved (pq, enc) pair
+    # samples the SAME host window, so the median of per-pair ratios is
+    # immune to a congested stretch that min/min across different windows
+    # can still mis-pair
+    pair_ratios = sorted(p / e for p, e in zip(pq_runs, enc_runs))
+    extras["speed_ratio_paired_median"] = pair_ratios[len(pair_ratios) // 2]
 
     total = sum(timings.values())
     out = {
