@@ -326,6 +326,123 @@ def _plain_encode(arr: pa.Array, phys: int) -> tuple[bytes, int]:
     return plain.encode_numeric(np.asarray(dense).astype(npdt, copy=False)), len(arr)
 
 
+# ============================================== column / page statistics
+# The reference stamps min/max/null-count into every DataPageHeader
+# (/root/reference/parquet.go:164-169; kernels gen/template_required.go:
+# 71-113, string sentinels gen/template_string.go:82-136). We write the
+# same per-page bounds PLUS the merged column-chunk Statistics (field 12
+# of ColumnMetaData) — the form duckdb/pyarrow/Spark actually prune on.
+
+_STAT_TRUNC = 64  # BYTE_ARRAY bound cap before prefix truncation
+
+
+def _minmax(dense: pa.Array):
+    """(min, max) of a dense (null-free) page as python values, or None.
+
+    Orders follow the parquet spec's per-logical-type column orders:
+    signed for ints/temporal, unsigned for UINT_* and raw bytes,
+    code-point (== UTF-8 byte) order for strings, numeric for DECIMAL.
+    Floats skip NaN and normalize zeros to the spec-recommended bounds
+    (-0.0 as min, +0.0 as max)."""
+    if not len(dense):
+        return None
+    t = dense.type
+    if pa.types.is_floating(t):
+        v = dense.to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return None
+        mn, mx = v.min().item(), v.max().item()
+        return (-0.0 if mn == 0.0 else mn), (0.0 if mx == 0.0 else mx)
+    if pa.types.is_fixed_size_binary(t):
+        # pyarrow 16 segfaults casting a SLICED fixed_size_binary to
+        # binary — rank rows lexicographically via numpy instead
+        n, ln = len(dense), t.byte_width
+        raw = np.frombuffer(
+            dense.buffers()[1], np.uint8, n * ln, offset=dense.offset * ln
+        ).reshape(n, ln)
+        order = np.lexsort(raw[:, ::-1].T)  # column 0 = primary key
+        return raw[order[0]].tobytes(), raw[order[-1]].tobytes()
+    import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(t):
+        dense = dense.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        dense = dense.cast(pa.int32())
+    mm = pc.min_max(dense)
+    mn = mm["min"].as_py()
+    return None if mn is None else (mn, mm["max"].as_py())
+
+
+def _stat_encode(v, phys: int, t: pa.DataType) -> bytes | None:
+    """Plain physical encoding of one stat bound (no length prefix).
+    Unsigned ints fold to two's complement — same bit pattern the value
+    stream stores, compared unsigned via the UINT_* annotation."""
+    if phys == T_BOOLEAN:
+        return b"\x01" if v else b"\x00"
+    if phys == T_INT32:
+        return struct.pack("<i", v - (1 << 32) if v >= 1 << 31 else v)
+    if phys == T_INT64:
+        return struct.pack("<q", v - (1 << 64) if v >= 1 << 63 else v)
+    if phys == T_FLOAT:
+        return struct.pack("<f", v)
+    if phys == T_DOUBLE:
+        return struct.pack("<d", v)
+    if phys == T_BYTE_ARRAY:
+        return v.encode() if isinstance(v, str) else bytes(v)
+    if phys == T_FLBA:
+        if pa.types.is_decimal(t):
+            from decimal import Decimal
+
+            unscaled = int(Decimal(v).scaleb(t.scale))
+            return unscaled.to_bytes(_decimal_flba_len(t.precision), "big", signed=True)
+        return bytes(v)
+    return None
+
+
+def _write_statistics(w: TCWriter, fid: int, mm, null_count: int, phys: int,
+                      t: pa.DataType | None) -> None:
+    """Emit a parquet Statistics struct as field `fid` of the enclosing
+    struct. min_value/max_value (fields 5/6) whenever bounds exist; the
+    deprecated signed-order min/max (fields 1/2) only where signed order
+    is the type's true order (parquet-mr's compatibility rule — never for
+    UTF8/binary/UINT/DECIMAL). Over-long BYTE_ARRAY bounds truncate to a
+    64-byte prefix (min: plain prefix stays a lower bound; max: first
+    non-0xFF-terminated prefix incremented) with is_*_value_exact=false."""
+    enc = None
+    if mm is not None and t is not None:
+        mn_b, mx_b = _stat_encode(mm[0], phys, t), _stat_encode(mm[1], phys, t)
+        mn_exact = mx_exact = True
+        if phys == T_BYTE_ARRAY and mn_b is not None and len(mn_b) > _STAT_TRUNC:
+            mn_b, mn_exact = mn_b[:_STAT_TRUNC], False
+        if phys == T_BYTE_ARRAY and mx_b is not None and len(mx_b) > _STAT_TRUNC:
+            up = bytearray(mx_b[:_STAT_TRUNC])
+            while up and up[-1] == 0xFF:
+                up.pop()
+            if up:
+                up[-1] += 1
+                mx_b, mx_exact = bytes(up), False
+            else:
+                mn_b = mx_b = None  # bound is an all-0xFF prefix: omit the pair
+        if mn_b is not None and mx_b is not None:
+            enc = (mn_b, mx_b, mn_exact, mx_exact)
+    w.struct_begin(fid)
+    if enc is not None and (
+        pa.types.is_signed_integer(t) or pa.types.is_floating(t)
+        or pa.types.is_boolean(t) or pa.types.is_timestamp(t) or pa.types.is_date32(t)
+    ):
+        w.binary(1, enc[1])  # deprecated max (signed order only)
+        w.binary(2, enc[0])  # deprecated min
+    w.i64(3, null_count)
+    if enc is not None:
+        w.binary(5, enc[1])  # max_value
+        w.binary(6, enc[0])  # min_value
+        if not (enc[2] and enc[3]):
+            w.boolean(7, enc[3])  # is_max_value_exact
+            w.boolean(8, enc[2])  # is_min_value_exact
+    w.struct_end()
+
+
 def _def_levels(arr: pa.Array) -> bytes:
     """RLE hybrid stream (4-byte length prefix included — rle.encode emits
     exactly parquet's definition-level framing) at bit width 1."""
@@ -675,6 +792,8 @@ def write_file(
                 # before the first page byte is written
                 page_specs: list[tuple[bytes, int, int]] = []
                 dense_parts: list[pa.Array] = []
+                page_mm: list[tuple | None] = []
+                leaf_t: pa.DataType | None = None
                 for start in range(0, len(arr), page_rows):
                     page = arr.slice(start, page_rows)
                     if is_list:
@@ -701,6 +820,8 @@ def write_file(
                     n_values_total += n_vals
                     page_specs.append((lv, n_vals, len(dense)))
                     dense_parts.append(dense)
+                    page_mm.append(_minmax(dense))
+                    leaf_t = dense.type
                 # chunk-wide dictionary decision: auto keeps parquet's own
                 # heuristic shape (small distinct set relative to values);
                 # floats stay PLAIN under auto so NaN payloads remain
@@ -770,6 +891,7 @@ def write_file(
                     # repetition levels: RLE when present, BIT_PACKED marker when flat
                     has_rep = is_list or (is_dremel and leaf["max_rep"] > 0)
                     hdr.i32(4, ENC_RLE if has_rep else ENC_BIT_PACKED)
+                    _write_statistics(hdr, 5, page_mm[i], n_vals - n_dense, phys, leaf_t)
                     hdr.struct_end()
                     page_bytes = hdr.finish() + comp_body
                     f.write(page_bytes)
@@ -779,10 +901,16 @@ def write_file(
                     n_pages += 1
                 dotted = ".".join(leaf["path"])
                 encs = [ENC_PLAIN, ENC_RLE] + ([ENC_RLE_DICT] if denc is not None else [])
+                mm_pages = [m for m in page_mm if m is not None]
+                chunk_mm = (
+                    (min(m[0] for m in mm_pages), max(m[1] for m in mm_pages))
+                    if mm_pages else None
+                )
                 chunks_meta.append(
                     dict(name=dotted, phys=phys, n_values=n_values_total, codec=codec_id,
                          uncomp=total_uncomp, comp=total_comp, page_off=data_page_offset,
-                         dict_off=dict_off, encs=encs,
+                         dict_off=dict_off, encs=encs, mm=chunk_mm, leaf_t=leaf_t,
+                         nulls=n_values_total - n_dense_total,
                          path=[leaf["path"][0], "list", "element"] if is_list else leaf["path"])
                 )
                 s = summary.setdefault(dotted, {"pages": 0, "bytes": 0})
@@ -823,12 +951,22 @@ def write_file(
                 w.i64(9, cm["page_off"])  # data_page_offset
                 if cm["dict_off"] is not None:
                     w.i64(11, cm["dict_off"])  # dictionary_page_offset
+                if cm["leaf_t"] is not None:
+                    _write_statistics(w, 12, cm["mm"], cm["nulls"], cm["phys"], cm["leaf_t"])
                 w.struct_end()
                 w.elem_struct_end()
             w.i64(2, sum(cm["comp"] for cm in chunks_meta))
             w.i64(3, rg_rows)
             w.elem_struct_end()
         w.binary(6, created_by)
+        # column_orders (field 7): one TypeDefinedOrder per leaf — without
+        # it arrow/parquet-mr readers ignore min_value/max_value entirely
+        w.struct_list_begin(7, len(leaves))
+        for _ in leaves:
+            w.elem_struct_begin()
+            w.struct_begin(1)  # ColumnOrder union: TYPE_ORDER = TypeDefinedOrder{}
+            w.struct_end()
+            w.elem_struct_end()
         footer = w.finish()
         f.write(footer)
         f.write(struct.pack("<I", len(footer)))
