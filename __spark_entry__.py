@@ -89,6 +89,32 @@ def _q_roundtrip_fsst_text(spark, sf_dir):
     return _roundtrip(df, codecs={"text": "fsst"})
 
 
+def _q_roundtrip_map(spark, sf_dir):
+    """map<string,string> through the PSB1 block pipeline (round 5; the
+    reference rejects maps outright — /root/reference/README.md
+    limitation). Variable-length maps (map_filter drops null-valued
+    entries) + every-11th-doc NULL map exercise offsets and validity;
+    the round-tripped map flattens to (doc_id, mkey, mval) rows so a
+    plain-SQL oracle certifies the values."""
+    d = _t(spark, sf_dir, "documents")
+    attrs = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("source"), F.lit("lang"), F.lit("nc")),
+            F.array(F.col("source"), F.col("lang"), F.col("n_chars").cast("string")),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    df = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(attrs).alias("attrs"),
+    )
+    rt = _roundtrip(df)
+    e = rt.select("doc_id", F.explode(F.map_entries("attrs")).alias("kv"))
+    return e.select(
+        "doc_id", F.col("kv.key").alias("mkey"), F.col("kv.value").alias("mval")
+    )
+
+
 def _q_roundtrip_alp_decimal_floats(spark, sf_dir):
     """Price-like doubles (2 decimals) auto-select the ALP codec: exact
     10^e mantissas + int codec; the oracle is the identity, proving the
@@ -821,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # most-stable queries.
     return {
         # -- round-5 additions + queries that fell off the r4 cap ---------
+        "roundtrip_map": _q_roundtrip_map,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
@@ -879,6 +906,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "roundtrip_map": (
+            "SELECT doc_id, mkey, mval FROM ("
+            "SELECT doc_id, 'source' AS mkey, source AS mval FROM documents "
+            "UNION ALL SELECT doc_id, 'lang', lang FROM documents "
+            "UNION ALL SELECT doc_id, 'nc', CAST(n_chars AS VARCHAR) FROM documents"
+            ") WHERE doc_id % 11 <> 0 AND mval IS NOT NULL"
+        ),
         "roundtrip_codecs_forced": (
             "SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice, "
             "l_returnflag FROM lineitem"

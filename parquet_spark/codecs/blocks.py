@@ -54,7 +54,7 @@ _DTYPES = {
     "float32": 8, "float64": 9, "bool": 10,
     "string": 11, "binary": 12, "list": 13,
     "timestamp_us": 14, "date32": 15, "large_string": 16,
-    "struct": 17, "decimal128": 18,
+    "struct": 17, "decimal128": 18, "map": 19,
 }
 _DTYPE_NAMES = {v: k for k, v in _DTYPES.items()}
 
@@ -94,6 +94,8 @@ def _arrow_dtype_name(typ: pa.DataType) -> str:
         return "binary"
     if pa.types.is_boolean(typ):
         return "bool"
+    if pa.types.is_map(typ):
+        return "map"
     if pa.types.is_list(typ):
         return "list"
     if pa.types.is_struct(typ):
@@ -235,6 +237,18 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
         child_block = encode_array(flat, codec=codec, compression=compression)
         body = struct.pack("<BII", CODEC_IDS[len_codec], len(len_body), len(child_block)) + len_body + child_block
         codec_name, comp = "plain", "none"
+    elif dt_name == "map":
+        # map<k,v> reuses the existing list-of-struct block shape (the
+        # reference has no map support at all — README.md limitation):
+        # one nested list block whose entries struct holds key/value child
+        # blocks, each with its own codec choice. LLM training tables lean
+        # on map<string,string> metadata columns, so dict/fsst kick in on
+        # the key stream exactly as for a string column.
+        lst = dense.cast(
+            pa.list_(pa.struct([("key", typ.key_type), ("value", typ.item_type)]))
+        )
+        body = encode_array(lst, codec=codec, compression=compression)
+        codec_name, comp = "plain", "none"
     elif dt_name == "struct":
         # vectorized Dremel shredding (reference dremel/read.go:10-42,
         # read_repeated.go:62-118): each leaf field becomes its own
@@ -328,7 +342,7 @@ def encode_array(arr: pa.Array, codec: str | None = None, compression: str | Non
             comp = compression if compression is not None else "none"
 
     raw = validity + body
-    if compression is None and comp == "none" and len(raw) > 512 and dt_name not in ("list", "struct"):
+    if compression is None and comp == "none" and len(raw) > 512 and dt_name not in ("list", "struct", "map"):
         # trial general compression on top of any codec (lists skip it:
         # their child blocks already made their own compression choice)
         comp = "zstd"
@@ -377,6 +391,13 @@ def decode_array(buf: bytes | memoryview) -> pa.Array:
         offsets = np.zeros(n_dense + 1, dtype=np.int32)
         np.cumsum(lens, out=offsets[1:])
         dense = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+        return _scatter_nulls(dense, mask, n)
+    if dt_name == "map":
+        inner = decode_array(memoryview(body))  # list<struct<key,value>>
+        entries = inner.values
+        dense = pa.MapArray.from_arrays(
+            inner.offsets, entries.field("key"), entries.field("value")
+        )
         return _scatter_nulls(dense, mask, n)
     if dt_name == "struct":
         (n_fields,) = struct.unpack_from("<H", body, 0)
@@ -480,6 +501,14 @@ def describe(buf: bytes | memoryview) -> dict:
             p += child_len
         out["fields"] = fields
         out["codec"] = "struct<" + ",".join(f"{k}:{v['codec']}" for k, v in fields.items()) + ">"
+        return out
+    if _DTYPE_NAMES[dt_id] == "map":
+        raw = _decompress(_COMPRESSION_NAMES[comp_id], bytes(mv[_HEADER.size : _HEADER.size + body_len]), raw_len)
+        pos = ((n + 7) // 8) if flags & FLAG_VALIDITY else 0
+        child = describe(memoryview(raw)[pos:])
+        out["child"] = child
+        out["codec"] = f"map<{child['codec']}>"
+        out["compression"] = child["compression"] if child["compression"] != "none" else out["compression"]
         return out
     if _DTYPE_NAMES[dt_id] == "list":
         raw = _decompress(_COMPRESSION_NAMES[comp_id], bytes(mv[_HEADER.size : _HEADER.size + body_len]), raw_len)

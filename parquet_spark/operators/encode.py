@@ -263,6 +263,15 @@ def encode_table(
     Bloom filter (`_bloom_<col>`) for equality pruning (stats/bloom.py)."""
     has_bucket = BUCKET_COL in df.columns
     columns = columns or [c for c in df.columns if c != BUCKET_COL]
+    reserved = {"part_id", "block_id", "bucket", "n_rows", "meta"}
+    bad = [c for c in columns
+           if c in reserved or c.startswith(("_min_", "_max_", "_bloom_"))]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} collide with the block layout's reserved "
+            f"columns ({sorted(reserved)} and _min_/_max_/_bloom_ prefixes) — "
+            f"rename before encoding"
+        )
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     stats_cols = [c for c in columns if type_of.get(c) in _STATS_SPARK_TYPES]
     bloom_cols = list(bloom_cols or [])

@@ -64,6 +64,28 @@ def plan_salted_buckets(
     return plan
 
 
+def _hashable_cols(df: DataFrame) -> list:
+    """Columns usable inside xxhash64 — Spark forbids hashing MAP types
+    (unstable hashcodes), so map-bearing columns are excluded from the
+    whole-row salt. The salt only drives bucket BALANCE; dropping a
+    column narrows the entropy source, never correctness."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [F.col(f.name) for f in df.schema.fields if not has_map(f.dataType)]
+    # all-map row shape: constant salt is still deterministic and valid,
+    # just unbalanced — a one-column map table is not an encode target
+    return cols or [F.lit(0)]
+
+
 def with_salted_bucket(
     df: DataFrame,
     plan: list[tuple[str, int, int]],
@@ -75,13 +97,13 @@ def with_salted_bucket(
     pmod(xxhash64(salt_key), n_salts(source))."""
     spark = df.sparkSession
     if salt_key.isidentifier() and salt_key.lower() not in {c.lower() for c in df.columns}:
-        salt = F.xxhash64(*[F.col(c) for c in df.columns])
+        salt = F.xxhash64(*_hashable_cols(df))
     else:
         try:
             df.select(F.expr(salt_key))
             salt = F.xxhash64(F.expr(salt_key))
         except AnalysisException:
-            salt = F.xxhash64(*[F.col(c) for c in df.columns])
+            salt = F.xxhash64(*_hashable_cols(df))
     if len(plan) == 1 and plan[0][0] is None:
         # unweighted fallback: uniform hash over target buckets
         return df.withColumn(bucket_col, F.pmod(salt, F.lit(plan[0][2])).cast("int"))

@@ -294,3 +294,38 @@ def test_decimal256_rejected_loudly():
     arr = pa.array([123, -456, 7], pa.decimal256(50, 0))
     with pytest.raises(TypeError, match="precision"):
         blk.encode_array(arr)
+
+
+def test_map_roundtrip_shapes():
+    """map<k,v> rides the list-of-struct block shape (reference has no map
+    support at all — README.md limitation; this is engine-added)."""
+    cases = [
+        pa.array([[("a", 1), ("b", 2)], None, [], [("c", None)]],
+                 pa.map_(pa.string(), pa.int64())),
+        pa.array([], pa.map_(pa.string(), pa.string())),
+        pa.array([None, None], pa.map_(pa.int64(), pa.float64())),
+        pa.array([[(i, [1.5, 2.5])] for i in range(10)],
+                 pa.map_(pa.int64(), pa.list_(pa.float64()))),
+        pa.array([[("m", {"x": 3})]],
+                 pa.map_(pa.string(), pa.struct([("x", pa.int64())]))),
+    ]
+    for arr in cases:
+        out, buf = rt(arr)
+        assert out.equals(arr), arr.type
+        d = blocks.describe(buf)
+        assert d["dtype"] == "map" and d["codec"].startswith("map<list<struct<key:")
+
+
+def test_map_dict_kicks_in_on_repeated_keys():
+    """Metadata-style maps (few distinct keys) must dictionary-encode the
+    key stream, not store every repetition plain."""
+    arr = pa.array(
+        [[("lang", "en"), ("src", "web")] for _ in range(5000)],
+        pa.map_(pa.string(), pa.string()),
+    )
+    out, buf = rt(arr)
+    assert out.equals(arr)
+    d = blocks.describe(buf)
+    key_codec = d["child"]["child"]["fields"]["key"]["codec"]
+    assert key_codec in ("dict", "rle", "fsst"), d["codec"]
+    assert len(buf) < arr.nbytes / 4

@@ -95,6 +95,42 @@ def test_bool_roundtrip_any(vals):
     assert rt_equal(pa.array(vals, pa.bool_()))
 
 
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.text(max_size=8),
+                          st.one_of(st.none(), st.integers(-10**6, 10**6))),
+                max_size=6,
+                unique_by=lambda kv: kv[0],  # map keys must be unique
+            ),
+        ),
+        max_size=120,
+    )
+)
+def test_map_roundtrip_any(vals):
+    assert rt_equal(pa.array(vals, pa.map_(pa.string(), pa.int64())))
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.integers(0, 50),
+                          st.one_of(st.none(), st.text(max_size=12))),
+                max_size=4,
+                unique_by=lambda kv: kv[0],
+            ),
+        ),
+        max_size=80,
+    )
+)
+def test_map_int_keys_roundtrip_any(vals):
+    assert rt_equal(pa.array(vals, pa.map_(pa.int64(), pa.string())))
+
+
 @given(st.data())
 def test_forced_codec_roundtrip(data):
     codec = data.draw(st.sampled_from(["plain", "dict", "rle", "for_bp", "bitpack"]))

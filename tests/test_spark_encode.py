@@ -480,3 +480,45 @@ def test_snapshot_sequence_skips_existing_history(spark, tmp_path):
     write_encoded(df.limit(100), path, target_partitions=2, fingerprint="sq2", resume=False)
     assert read_snapshot(path)["sequence"] == 3
     assert json.load(open(foreign))["marker"] == "foreign"  # untouched
+
+
+def test_map_column_roundtrip(spark, tmp_path):
+    """map<string,string> metadata columns (routine in LLM training tables;
+    the reference rejects maps outright — README.md limitation) encode
+    through the same block pipeline: salted fallback must not hash the
+    map (Spark forbids it) and decode must return MapType bit-exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))),
+            F.array((F.col("id") % 3).cast("string"), F.col("id").cast("string")),
+        ).alias("attrs"),
+    ).withColumn(
+        "attrs", F.when(F.col("id") % 11 == 0, F.lit(None)).otherwise(F.col("attrs"))
+    )
+    path = str(tmp_path / "maptbl")
+    write_encoded(df, path, target_partitions=2)
+    dec = read_encoded(spark, path)
+    assert dec.schema["attrs"].dataType.simpleString() == "map<string,string>"
+    canon = lambda d: d.select(  # noqa: E731 — map_entries: order-stable canonical form
+        F.sum(F.crc32(F.to_json(F.struct(F.col("id"), F.map_entries("attrs"))))).alias("c")
+    ).collect()[0][0]
+    assert canon(dec) == canon(df)
+    assert dec.count() == 500
+
+
+def test_reserved_column_names_rejected(spark):
+    """User columns colliding with the block layout's own columns must fail
+    loudly at plan time, not produce a corrupt blocks table."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.encode import encode_table
+
+    df = spark.range(10).select(F.col("id"), F.lit("x").alias("meta"))
+    with pytest.raises(ValueError, match="meta"):
+        encode_table(df)
+    df2 = spark.range(10).select(F.col("id"), F.lit(1).alias("_min_id"))
+    with pytest.raises(ValueError, match="_min_id"):
+        encode_table(df2)
