@@ -125,8 +125,6 @@ def _block_keep_condition(col: str, op: str, value):
     """Can a block with [vmin, vmax] contain a row satisfying (col op value)?
     Blocks without stats (null vmin) are always kept — pruning is an
     optimization, never a correctness filter."""
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     vmin, vmax = F.col(f"_min_{col}"), F.col(f"_max_{col}")
@@ -134,13 +132,22 @@ def _block_keep_condition(col: str, op: str, value):
         # keep the block if ANY candidate value falls inside its range
         vals = list(value)
         if not vals:
-            cond = F.lit(False)
-        else:
-            cond = reduce(
-                lambda a, b: a | b,
-                [(vmin <= F.lit(v)) & (vmax >= F.lit(v)) for v in vals],
+            return F.lit(False) | vmin.isNull()
+        if len(vals) > 16:
+            # large candidate sets (merge_into key pruning): a flat array
+            # literal + EXISTS keeps the expression tree depth O(1) —
+            # OR-chains of hundreds of terms overflow Catalyst's stack
+            cond = F.exists(
+                F.array(*[F.lit(v) for v in vals]),
+                lambda k: (vmin <= k) & (vmax >= k),
             )
-        return cond | vmin.isNull()
+            return cond | vmin.isNull()
+        conds = [(vmin <= F.lit(v)) & (vmax >= F.lit(v)) for v in vals]
+        while len(conds) > 1:
+            conds = [a | b for a, b in zip(conds[::2], conds[1::2])] + (
+                [conds[-1]] if len(conds) % 2 else []
+            )
+        return conds[0] | vmin.isNull()
     lit = F.lit(value)
     if op == ">":
         cond = vmax > lit

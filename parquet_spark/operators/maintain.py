@@ -180,10 +180,50 @@ def delete_where(
         cond = piece if cond is None else (cond & piece)
     # null-safe survivor set: a NULL predicate evaluation did not MATCH
     survivors = rows.where(~cond.eqNullSafe(F.lit(True)))
-    block_rows = snap.get("block_rows", DEFAULT_BLOCK_ROWS)
-    bloom_cols = snap.get("bloom_cols") or []
-    new_blocks = encode_table(survivors, columns=[f.name for f in schema.fields],
-                              block_rows=block_rows, bloom_cols=bloom_cols)
+    before = blocks.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"), F.count("*").alias("blocks")
+    ).collect()[0]
+    stats, n_copied = _commit_cow(
+        spark, path, snap, schema.json(), [f.name for f in schema.fields],
+        untouched, survivors, "delete",
+    )
+    return {
+        "deleted": int(before["rows"]) - int(stats["rows"]),
+        "remaining": int(stats["rows"]),
+        "blocks_copied": n_copied,
+        "blocks_rewritten": int(stats["blocks"]) - n_copied,
+    }
+
+
+def _commit_cow(
+    spark: SparkSession,
+    path: str,
+    snap: dict,
+    schema_json: str,
+    columns: list[str],
+    untouched,
+    new_rows,
+    fingerprint_prefix: str,
+    bloom_cols: list | None = None,
+    block_rows: int | None = None,
+) -> tuple:
+    """Shared copy-on-write commit for delete_where/merge_into: encode the
+    rewritten rows, union with the byte-identical untouched blocks into a
+    FRESH generation, publish its manifest, then swap the snapshot pointer
+    atomically. Returns (written-generation stats row, blocks copied)."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.encode import (
+        encode_table,
+        manifest_from_blocks,
+        write_snapshot,
+    )
+
+    block_rows = block_rows or snap.get("block_rows", DEFAULT_BLOCK_ROWS)
+    bloom_cols = bloom_cols if bloom_cols is not None else (snap.get("bloom_cols") or [])
+    new_blocks = encode_table(
+        new_rows, columns=columns, block_rows=block_rows, bloom_cols=bloom_cols
+    )
     gen = uuid.uuid4().hex[:8]
     data_dirname, manifest_dirname = f"data-{gen}", f"manifest-{gen}"
     data_dir = os.path.join(path, data_dirname)
@@ -196,24 +236,16 @@ def delete_where(
     stats = written.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"), F.count("*").alias("blocks")
     ).collect()[0]
-    before = blocks.agg(
-        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"), F.count("*").alias("blocks")
-    ).collect()[0]
     n_copied = int(untouched.count())
     write_snapshot(
         path,
-        schema.json(),
-        [f.name for f in schema.fields],
-        f"delete-{gen}",
+        schema_json,
+        columns,
+        f"{fingerprint_prefix}-{gen}",
         {"block_rows": block_rows, "data_dir": data_dirname,
          "manifest_dir": manifest_dirname, "bloom_cols": bloom_cols},
     )
-    return {
-        "deleted": int(before["rows"]) - int(stats["rows"]),
-        "remaining": int(stats["rows"]),
-        "blocks_copied": n_copied,
-        "blocks_rewritten": int(stats["blocks"]) - n_copied,
-    }
+    return stats, n_copied
 
 
 def _table_rows(spark: SparkSession, path: str, snap: dict) -> int:
@@ -241,12 +273,23 @@ def merge_into(
     extra columns are fine: the batch layout's evolution rules apply on
     read); duplicate keys WITHIN `updates` are rejected — last-writer
     ambiguity inside one commit is a bug, not a semantics.
-    Plan shape: one left-anti hash join on the key (broadcast when the
-    update set is small) + the standard encode; no per-row work.
+
+    Scale shape (same stats-pruned copy-on-write as delete_where): blocks
+    whose key-column min/max range cannot contain ANY update key copy into
+    the new generation byte-for-byte without decode; only intersecting
+    blocks decode, anti-join against the update keys, and re-encode
+    alongside the updates. Small update sets (≤1000 keys) refine the range
+    check to per-key membership, so a point-upsert into a clustered table
+    rewrites O(1) blocks, not O(table). Tables without stats on the key
+    column (or with a key type outside the stats set) conservatively
+    rewrite everything — pruning is an optimization, never correctness.
     Batch-layout tables flatten (appends then refuse loudly; a live
     stream halts at its stale-generation guard).
-    Returns {updated, inserted, total}."""
+    Returns {updated, inserted, total, blocks_copied, blocks_rewritten}."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from parquet_spark.operators.decode import _block_keep_condition, decode_table
 
     snap = read_snapshot(path)
     if snap is None:
@@ -256,31 +299,60 @@ def merge_into(
     dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(f"updates carry duplicate {key_col!r} keys — resolve before merging")
-    cur = read_encoded(spark, path)
-    missing = [c for c in cur.columns if c not in updates.columns]
+    schema = StructType.fromJson(snap["schema"])
+    table_cols = [f.name for f in schema.fields]
+    missing = [c for c in table_cols if c not in updates.columns]
     if missing:
         raise KeyError(f"updates missing table column(s) {missing}")
-    survivors = cur.join(updates.select(key_col), key_col, "left_anti")
-    # counts at metadata scale: blocks' n_rows column, never a decode
     n_before, n_updates = _table_rows(spark, path, snap), updates.count()
-    merged = survivors.select(*cur.columns).unionByName(
+
+    blocks = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, snap.get("data_dir", "data"))
+    )
+    if "batch" in blocks.columns:  # flatten batch layout, as delete_where does
+        blocks = blocks.drop("batch")
+    if f"_min_{key_col}" in blocks.columns:
+        lo, hi = updates.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        may = _block_keep_condition(key_col, ">=", lo) & _block_keep_condition(
+            key_col, "<=", hi
+        )
+        if n_updates <= 1000:
+            keys = [r[0] for r in updates.select(key_col).collect()]
+            may = may & _block_keep_condition(key_col, "in", keys)
+    else:
+        may = F.lit(True)  # no stats on the key: every block may hold a match
+    touched, untouched = blocks.where(may), blocks.where(~may)
+
+    survivors = decode_table(touched, schema).join(
+        updates.select(key_col), key_col, "left_anti"
+    )
+    merged = survivors.select(*table_cols).unionByName(
         updates, allowMissingColumns=True
     )
-    gen = uuid.uuid4().hex[:8]
-    write_encoded(
-        merged,
-        path,
-        resume=False,
-        fingerprint=f"merge-{gen}",
-        block_rows=snap.get("block_rows", DEFAULT_BLOCK_ROWS),
-        data_dirname=f"data-{gen}",
-        manifest_dirname=f"manifest-{gen}",
-        bloom_cols=encode_kwargs.pop("bloom_cols", snap.get("bloom_cols") or None),
-        **encode_kwargs,
+    out_schema_json = merged.schema.json()  # additive update columns evolve in
+    bloom_override = encode_kwargs.pop("bloom_cols", None)
+    rows_override = encode_kwargs.pop("block_rows", None)
+    if encode_kwargs:
+        raise TypeError(
+            f"merge_into supports bloom_cols/block_rows overrides only, "
+            f"got {sorted(encode_kwargs)}"
+        )
+    stats, n_copied = _commit_cow(
+        spark, path, snap, out_schema_json, list(merged.columns),
+        untouched, merged, "merge",
+        bloom_cols=bloom_override, block_rows=rows_override,
     )
-    total = _table_rows(spark, path, read_snapshot(path))
+    total = int(stats["rows"])
     inserted = total - n_before
-    return {"updated": n_updates - inserted, "inserted": inserted, "total": total}
+    return {
+        "updated": n_updates - inserted,
+        "inserted": inserted,
+        "total": total,
+        "blocks_copied": n_copied,
+        "blocks_rewritten": int(stats["blocks"]) - n_copied,
+    }
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:

@@ -342,7 +342,8 @@ def test_merge_into_upsert(spark, tmp_path):
     write_encoded(df, path, target_partitions=4)
     updates = spark.range(1500, 2500).select(F.col("id").alias("doc_id"), F.lit(-1).alias("v"))
     rep = merge_into(spark, path, updates, key_col="doc_id")
-    assert rep == {"updated": 500, "inserted": 500, "total": 2500}
+    assert (rep["updated"], rep["inserted"], rep["total"]) == (500, 500, 2500)
+    assert rep["blocks_copied"] + rep["blocks_rewritten"] > 0
     back = read_encoded(spark, path)
     assert back.where(F.col("v") == -1).count() == 1000
     assert back.where((F.col("doc_id") < 1500) & (F.col("v") != F.col("doc_id") * 10)).count() == 0
@@ -460,3 +461,70 @@ def test_compact_preserves_bloom_cols(spark, tmp_path):
     files = _glob.glob(os.path.join(path, snap["data_dir"], "*.parquet"))
     blooms = pq.read_table(files, columns=["_bloom_key"]).column("_bloom_key").to_pylist()
     assert blooms and all(blooms), "compaction dropped the per-block bloom filters"
+
+
+def test_merge_into_copies_untouched_blocks(spark, tmp_path):
+    """Block-granular copy-on-write upsert: planting updates inside ONE
+    block's key range of a clustered table must copy every other block
+    byte-for-byte (same manifest crc) and rewrite only the hit block."""
+    from parquet_spark.operators.decode import read_encoded, read_manifest
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+
+    path = str(tmp_path / "mrgc")
+    df = spark.range(0, 60000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("v")
+    )
+    write_encoded(df, path, target_partitions=4, block_rows=2000, cluster_col="doc_id")
+    man_before = read_manifest(spark, path).select(
+        "bucket", "part_id", "block_id", "column", "crc"
+    ).toPandas()
+    n_blocks_before = len(man_before) // man_before["column"].nunique()
+
+    updates = spark.createDataFrame(
+        [(100, -1), (150, -2), (42000, -3)], "doc_id long, v long"
+    )
+    rep = merge_into(spark, path, updates, key_col="doc_id")
+    assert (rep["updated"], rep["inserted"], rep["total"]) == (3, 0, 60000)
+    # 3 point keys hit at most ~2 clustered blocks (the re-encode may
+    # split the touched rows into a few short blocks); everything else copies
+    assert rep["blocks_rewritten"] <= 8
+    assert rep["blocks_copied"] >= n_blocks_before - 3
+
+    # copied blocks are byte-identical: their manifest crc rows reappear
+    man_after = read_manifest(spark, path).select(
+        "bucket", "part_id", "block_id", "column", "crc"
+    ).toPandas()
+    keys = ["bucket", "part_id", "block_id", "column", "crc"]
+    same = man_before.merge(man_after, on=keys)
+    n_cols = man_before["column"].nunique()
+    assert len(same) >= rep["blocks_copied"] * n_cols
+
+    back = read_encoded(spark, path)
+    assert back.count() == 60000
+    got = {r["doc_id"]: r["v"] for r in back.where(F.col("v") < 0).collect()}
+    assert got == {100: -1, 150: -2, 42000: -3}
+    # stats pruning still works over the mixed copied+rewritten generation
+    assert read_encoded(spark, path, where=("doc_id", "<", 1000)).count() == 1000
+
+
+def test_merge_into_additive_column_evolves(spark, tmp_path):
+    """Updates carrying an extra column evolve the schema additively:
+    copied blocks (written before the column existed) null-fill on read."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+
+    path = str(tmp_path / "mrga")
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("v")
+    )
+    write_encoded(df, path, target_partitions=2, block_rows=1000, cluster_col="doc_id")
+    updates = spark.createDataFrame([(10, -1, "fixed")], "doc_id long, v long, note string")
+    rep = merge_into(spark, path, updates, key_col="doc_id")
+    assert rep["blocks_copied"] > 0  # old-schema blocks really were copied
+    back = read_encoded(spark, path)
+    assert back.schema["note"].dataType.simpleString() == "string"
+    assert back.where(F.col("note").isNotNull()).count() == 1
+    assert back.where(F.col("doc_id") == 10).collect()[0]["note"] == "fixed"
+    assert back.count() == 8000
