@@ -44,14 +44,34 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+_MEDIA_DECODERS: dict = {}
+
+
+def register_media_decoder(codec: str, fn) -> None:
+    """Plug a real decoder in: `fn(payload: bytes) -> np.ndarray`. The
+    engine ships only the identity 'raw' codec (no PIL/ffmpeg in this
+    container); a deployment registers e.g.
+    `register_media_decoder("jpeg", lambda p: np.asarray(PIL.Image.open(io.BytesIO(p))))`
+    once per worker (module import time) and decode_media dispatches to it.
+    Registering 'raw' is refused — its zero-copy fast path must stay."""
+    if codec == "raw":
+        raise ValueError("'raw' is built in and cannot be overridden")
+    if not callable(fn):
+        raise TypeError("decoder must be callable(payload: bytes) -> np.ndarray")
+    _MEDIA_DECODERS[codec] = fn
+
+
 def decode_media(payload: bytes, codec: str) -> np.ndarray:
-    """Per-payload decode. Real codecs are stubbed (no PIL/ffmpeg in the
-    container); 'raw' interprets the payload as a uint8 vector."""
+    """Per-payload decode. 'raw' interprets the payload as a uint8 vector;
+    other codecs dispatch to register_media_decoder hooks, else raise."""
     if codec == "raw":
         return np.frombuffer(payload, dtype=np.uint8)
+    fn = _MEDIA_DECODERS.get(codec)
+    if fn is not None:
+        return fn(payload)
     raise NotImplementedError(
         f"media codec {codec!r} requires an image/audio library not shipped "
-        "in this container; plug a decoder into decode_media"
+        "in this container; plug a decoder in with register_media_decoder"
     )
 
 

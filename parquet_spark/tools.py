@@ -109,7 +109,61 @@ def cmd_verify(path: str) -> None:
         r["column"]: int(r["n"])
         for r in man.groupBy("column").agg(F.count("*").alias("n")).collect()
     }
-    print(json.dumps({"path": path, "rows": int(n), "crc": "ok", "blocks_per_column": per_col}))
+    out = {"path": path, "rows": int(n), "crc": "ok", "blocks_per_column": per_col}
+
+    # bloom sidecar consistency: every value in a bloom-enabled block must
+    # probe positive against that block's own filter — a false NEGATIVE
+    # means equality pruning would silently drop real rows
+    from parquet_spark.operators.encode import read_snapshot
+
+    snap = read_snapshot(path) or {}
+    bloom_cols = snap.get("bloom_cols") or []
+    if bloom_cols:
+        import os as _os
+
+        blocks = spark.read.option("mergeSchema", "true").parquet(
+            _os.path.join(path, snap.get("data_dir", "data"))
+        )
+
+        def probe(batches):
+            import pyarrow as pa
+
+            from parquet_spark.codecs import blocks as blk
+            from parquet_spark.stats import bloom as B
+
+            for b in batches:
+                misses = checked = 0
+                for i in range(b.num_rows):
+                    for c in bloom_cols:
+                        filt = b.column(f"_bloom_{c}")[i].as_py()
+                        arr = blk.decode_array(b.column(c)[i].as_py()).drop_null()
+                        for v in arr.to_pylist():
+                            checked += 1
+                            vb = v if isinstance(v, bytes) else v.encode()
+                            if not B.maybe_contains(filt, vb):
+                                misses += 1
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([misses], pa.int64()), pa.array([checked], pa.int64())],
+                    ["misses", "checked"],
+                )
+
+        agg = (
+            blocks.select(*bloom_cols, *[f"_bloom_{c}" for c in bloom_cols])
+            .mapInArrow(probe, "misses long, checked long")
+            .agg(F.sum("misses").alias("m"), F.sum("checked").alias("k"))
+            .collect()[0]
+        )
+        out["bloom"] = {
+            "columns": bloom_cols,
+            "values_checked": int(agg["k"] or 0),
+            "false_negatives": int(agg["m"] or 0),
+        }
+        if int(agg["m"] or 0):
+            out["bloom"]["status"] = "CORRUPT"
+            print(json.dumps(out))
+            raise SystemExit(2)
+        out["bloom"]["status"] = "ok"
+    print(json.dumps(out))
 
 
 def cmd_parquet_meta(path: str) -> None:

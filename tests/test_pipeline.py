@@ -597,3 +597,25 @@ def test_time_rollup_buckets(spark):
     # global (keyless) variant
     g = time_rollup(ev, bucket_minutes=15, key_col=None).collect()
     assert sum(x["n_events"] for x in g) == 100
+
+
+def test_media_decoder_hook():
+    """register_media_decoder plugs a real codec in; 'raw' stays built-in
+    and unoverridable; unknown codecs still raise the honest stub error."""
+    import numpy as np
+    import pytest
+
+    from parquet_spark.pipeline import multimodal as mm
+
+    assert list(mm.decode_media(b"\x01\x02", "raw")) == [1, 2]
+    with pytest.raises(NotImplementedError, match="register_media_decoder"):
+        mm.decode_media(b"x", "jpeg")
+    mm.register_media_decoder("jpeg", lambda p: np.frombuffer(p, np.uint8)[::-1])
+    try:
+        assert list(mm.decode_media(b"\x01\x02", "jpeg")) == [2, 1]
+    finally:
+        mm._MEDIA_DECODERS.pop("jpeg")
+    with pytest.raises(ValueError, match="raw"):
+        mm.register_media_decoder("raw", lambda p: p)
+    with pytest.raises(TypeError):
+        mm.register_media_decoder("png", 42)

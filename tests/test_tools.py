@@ -104,3 +104,47 @@ def test_verify_cli_clean_and_corrupt(spark, tmp_path, capsys):
         os.remove(sidecar)
     with pytest.raises(Exception, match="checksum mismatch decoding column"):
         cmd_verify(path)
+
+
+def test_verify_cli_bloom_consistency(spark, tmp_path, capsys):
+    """On a bloom-enabled table, verify also probes every value against
+    its block's filter: clean → status ok; a corrupted (emptied) filter →
+    exit code 2 with false_negatives counted. A bloom FALSE NEGATIVE is
+    the one failure mode that silently drops rows from pruned reads."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+    from parquet_spark.tools import cmd_verify
+
+    path = str(tmp_path / "vb")
+    write_encoded(
+        sequences_df(spark, 1200, seed=9, n_partitions=2), path,
+        target_partitions=2, resume=False, bloom_cols=["source"],
+    )
+    cmd_verify(path)
+    out = json.loads(capsys.readouterr().out)
+    assert out["bloom"]["status"] == "ok"
+    assert out["bloom"]["false_negatives"] == 0
+    assert out["bloom"]["values_checked"] == 1200
+
+    # zero out one block's filter bits (valid container, wrong contents)
+    f = sorted(glob.glob(os.path.join(path, "data", "*.parquet")))[0]
+    t = pq.read_table(f)
+    col = t.column("_bloom_source").to_pylist()
+    col[0] = col[0][:8] + bytes(len(col[0]) - 8)
+    t = t.set_column(
+        t.schema.get_field_index("_bloom_source"), "_bloom_source",
+        pa.array(col, pa.binary()),
+    )
+    pq.write_table(t, f)
+    for sidecar in glob.glob(os.path.join(path, "data", ".*.crc")):
+        os.remove(sidecar)
+    with pytest.raises(SystemExit):
+        cmd_verify(path)
+    out = json.loads(capsys.readouterr().out)
+    assert out["bloom"]["status"] == "CORRUPT" and out["bloom"]["false_negatives"] > 0
