@@ -281,7 +281,12 @@ def _q_roundtrip_pruned_read(spark, sf_dir):
 
 
 _INTEROP_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"]
-_INTEROP_SQL = "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem"
+_INTEROP_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, "
+    "CASE WHEN l_linenumber % 7 <> 0 THEN l_returnflag END AS m_rf, "
+    "CASE WHEN l_linenumber % 7 <> 0 THEN CAST(l_linenumber AS VARCHAR) END AS m_ln "
+    "FROM lineitem"
+)
 
 
 def _q_interop_parquet_roundtrip(spark, sf_dir):
@@ -296,14 +301,30 @@ def _q_interop_parquet_roundtrip(spark, sf_dir):
     IN (reference gen/gen.go:101-148 reads third-party files): a
     pyarrow-written file (dictionary encoding on — its default) decoded by
     the engine's own raw reader. The query asserts both directions
-    checksum-match before returning the IN-direction result."""
+    checksum-match before returning the IN-direction result.
+
+    A MAP column rides along both ways (2-level `repeated group key_value`
+    MAP layout — the reference cannot write maps at all, README.md
+    limitation; the engine can) and is flattened via element_at for the
+    oracle hash, exercising null maps, null values, and the rep/def chain
+    through the key_value group."""
     import tempfile
 
     import pyarrow.parquet as pq
 
     from parquet_spark.sources import parquet_raw
 
-    df = _t(spark, sf_dir, "lineitem").select(*_INTEROP_COLS)
+    base = _t(spark, sf_dir, "lineitem").select(*_INTEROP_COLS)
+    df = base.withColumn(
+        "m",
+        F.when(
+            F.col("l_linenumber") % 7 != 0,
+            F.create_map(
+                F.lit("rf"), F.col("l_returnflag"),
+                F.lit("ln"), F.col("l_linenumber").cast("string"),
+            ),
+        ),
+    )
     work = tempfile.mkdtemp(prefix="psq-interop-")
     out_path = work + "/out.parquet"
     parquet_raw.write_file(out_path, df.toArrow(), compression="snappy")
@@ -311,8 +332,16 @@ def _q_interop_parquet_roundtrip(spark, sf_dir):
     in_path = work + "/in.parquet"
     pq.write_table(df.toArrow(), in_path, data_page_version="1.0", compression="snappy")
     back_in = parquet_raw.read_file(in_path)
-    a = spark.createDataFrame(back_out.to_pandas(), schema=df.schema)
-    b = spark.createDataFrame(back_in.to_pandas(), schema=df.schema)
+
+    def flat(tbl):
+        d = spark.createDataFrame(tbl)
+        return d.select(
+            *_INTEROP_COLS,
+            F.element_at("m", "rf").alias("m_rf"),
+            F.element_at("m", "ln").alias("m_ln"),
+        )
+
+    a, b = flat(back_out), flat(back_in)
     assert _crc_df(a) == _crc_df(b), "interop OUT and IN directions diverged"
     return b
 

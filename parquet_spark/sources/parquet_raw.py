@@ -56,6 +56,7 @@ CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 PAGE_DATA, PAGE_INDEX, PAGE_DICT, PAGE_DATA_V2 = 0, 1, 2, 3
 # ConvertedType enum (public parquet-format spec order)
 CONVERTED_UTF8, CONVERTED_LIST, CONVERTED_DECIMAL, CONVERTED_DATE = 0, 3, 5, 6
+CONVERTED_MAP, CONVERTED_MAP_KEY_VALUE = 1, 2
 CONVERTED_TS_MILLIS, CONVERTED_TS_MICROS = 9, 10
 CONVERTED_UINT_32, CONVERTED_UINT_64 = 13, 14
 
@@ -492,7 +493,7 @@ def _list_levels(arr: pa.ListArray, outer_optional: bool, elem_optional: bool):
 
 
 def _contains_list(t: pa.DataType) -> bool:
-    if pa.types.is_list(t):
+    if pa.types.is_list(t) or pa.types.is_map(t):
         return True
     if pa.types.is_struct(t):
         return any(_contains_list(c.type) for c in t)
@@ -539,6 +540,15 @@ def _leaf_specs(schema: pa.Schema) -> list[dict]:
             elem = t.value_field
             dremel(elem.type, elem.nullable, ops + [("rep",)],
                    path + ["list", "element"])
+        elif pa.types.is_map(t):
+            # MAP = repeated key_value group of (required key, value) — the
+            # 2-level spec layout; the shredder's rep op casts the MapArray
+            # to list<struct> so the generic walk applies unchanged
+            base = ops + [("rep",)]
+            dremel(t.key_type, False, base + [("struct", "key")],
+                   path + ["key_value", "key"])
+            dremel(t.item_type, t.item_field.nullable,
+                   base + [("struct", "value")], path + ["key_value", "value"])
         elif _phys_of(t) is not None:
             leaves.append(dict(
                 kind="dremel", path=path, ops=ops, phys=_phys_of(t), leaf_type=t,
@@ -556,7 +566,9 @@ def _leaf_specs(schema: pa.Schema) -> list[dict]:
                                    elem=elem, phys=_phys_of(elem.type)))
             else:
                 dremel(field.type, field.nullable, [], [field.name])
-        elif pa.types.is_struct(field.type) and _contains_list(field.type):
+        elif pa.types.is_map(field.type) or (
+            pa.types.is_struct(field.type) and _contains_list(field.type)
+        ):
             dremel(field.type, field.nullable, [], [field.name])
         else:
             rec(field, [], [])
@@ -593,6 +605,16 @@ def _dremel_shred(arr: pa.Array, ops: list):
         else:  # ("rep",) — list expansion: slot count changes
             cur_rep += 1
             la = cur if not isinstance(cur, pa.ChunkedArray) else cur.combine_chunks()
+            if pa.types.is_map(la.type):
+                # map = list<struct<key,value>> physically; cast (validity-
+                # preserving) so the list kernels below apply unchanged
+                mt = la.type
+                la = la.cast(pa.list_(pa.field(
+                    "key_value",
+                    pa.struct([pa.field("key", mt.key_type, False),
+                               pa.field("value", mt.item_type, mt.item_field.nullable)]),
+                    False,
+                )))
             lens = pc.list_value_length(la).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             lens = np.where(live, lens, 0)
             counts = np.maximum(lens, 1)  # every slot emits >= 1 entry
@@ -689,6 +711,23 @@ def _emit_any_elem(w: "TCWriter", name: str, t: pa.DataType, nullable: bool) -> 
         w.elem_struct_end()
         _emit_any_elem(w, "element", elem.type, elem.nullable)
         return
+    if pa.types.is_map(t):
+        # 2-level MAP: <repetition> group name (MAP) {
+        #   repeated group key_value { required key; <value-repetition> value } }
+        w.elem_struct_begin()
+        w.i32(3, OPTIONAL if nullable else REQUIRED)
+        w.binary(4, name)
+        w.i32(5, 1)
+        w.i32(6, CONVERTED_MAP)
+        w.elem_struct_end()
+        w.elem_struct_begin()
+        w.i32(3, REPEATED)
+        w.binary(4, "key_value")
+        w.i32(5, 2)
+        w.elem_struct_end()
+        _emit_any_elem(w, "key", t.key_type, False)
+        _emit_any_elem(w, "value", t.item_type, t.item_field.nullable)
+        return
     _emit_primitive_elem(w, name, t, nullable)
 
 
@@ -722,6 +761,8 @@ def _count_any_elem(t: pa.DataType) -> int:
         return 1 + sum(_count_any_elem(c.type) for c in t)
     if pa.types.is_list(t):
         return 2 + _count_any_elem(t.value_type)
+    if pa.types.is_map(t):
+        return 2 + _count_any_elem(t.key_type) + _count_any_elem(t.item_type)
     return 1
 
 
@@ -1176,6 +1217,19 @@ def _dremel_tree(c: dict) -> tuple[dict, list[dict]]:
             mid = ch[0]
             elem = conv(mid["children"][0], path_here + [mid["name"]], d + 1, cur_rep + 1)
             return dict(node="list", name=node["name"], opt=opt, elem=elem)
+        if (len(ch) == 1 and ch[0]["rep_t"] == REPEATED and ch[0]["children"] is not None
+                and len(ch[0]["children"]) == 2
+                and (node["conv"] in (CONVERTED_MAP, CONVERTED_MAP_KEY_VALUE)
+                     or ch[0]["name"] == "key_value")):
+            # 2-level MAP: repeated key_value group of (key, value) —
+            # modelled as a list of the (non-nullable) entries struct and
+            # assembled into a pa.MapArray (is_map flag)
+            mid = ch[0]
+            kv_path = path_here + [mid["name"]]
+            kids = [conv(x, kv_path, d + 1, cur_rep + 1) for x in mid["children"]]
+            elem = dict(node="struct", name=mid["name"], opt=False, children=kids)
+            return dict(node="list", name=node["name"], opt=opt, elem=elem,
+                        is_map=True)
         children = [conv(x, path_here, d, cur_rep) for x in ch]
         return dict(node="struct", name=node["name"], opt=opt, children=children)
 
@@ -1362,6 +1416,10 @@ def _assemble_dremel(info: dict, acc: dict) -> pa.Array:
             if null_slots.any():
                 mask = np.append(null_slots, False)
         off_arr = pa.array(offsets.astype(np.int32), pa.int32(), mask=mask)
+        if node.get("is_map"):
+            # positional: spec names the children key/value but legacy
+            # writers (MAP_KEY_VALUE era) used map/key/value variants
+            return pa.MapArray.from_arrays(off_arr, child.field(0), child.field(1))
         return pa.ListArray.from_arrays(off_arr, child)
 
     idxs = {lf["path"]: np.flatnonzero(data[lf["path"]][0] == 0) for lf in info["leaves"]}

@@ -729,3 +729,81 @@ def test_dremel_required_violation_raises(tmp_path):
         pa.list_(pa.struct([pa.field("k", pa.string(), nullable=False)])))})
     with pytest.raises(ValueError, match="non-nullable"):
         praw.write_file(str(tmp_path / "bad.parquet"), t)
+
+
+# ------------------------------------------------------------- MAP interop
+
+
+def _map_table(n: int = 400) -> pa.Table:
+    rng = np.random.default_rng(11)
+    maps = [
+        None if i % 13 == 0
+        else {f"k{j}": (None if (i + j) % 7 == 0 else int(rng.integers(0, 50)))
+              for j in range(int(rng.integers(0, 4)))}
+        for i in range(n)
+    ]
+    return pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "m": pa.array(maps, pa.map_(pa.string(), pa.int32())),
+        "attrs": pa.array(
+            [{"s": f"v{i % 5}"} if i % 3 else {} for i in range(n)],
+            pa.map_(pa.string(), pa.string()),
+        ),
+    })
+
+
+@pytest.mark.parametrize("compression", ["none", "snappy", "zstd"])
+@pytest.mark.parametrize("page_rows", [37, 65536])
+def test_map_write_all_readers(tmp_path, compression, page_rows):
+    """2-level `repeated group key_value` MAP layout (spec LogicalTypes.md):
+    null maps, empty maps, and null values all round-trip, and both pyarrow
+    and duckdb (third-party readers) open the file. The reference cannot
+    write maps at all (/root/reference/README.md limitation)."""
+    import duckdb
+
+    tbl = _map_table()
+    p = str(tmp_path / "maps.parquet")
+    praw.write_file(p, tbl, compression=compression, page_rows=page_rows)
+    assert pq.read_table(p).to_pylist() == tbl.to_pylist()       # pyarrow opens it
+    n_entries = duckdb.query(
+        f"SELECT sum(cardinality(m)) FROM read_parquet('{p}')"
+    ).fetchone()[0]
+    want = sum(len(m) for m in tbl.column("m").to_pylist() if m is not None)
+    assert n_entries == want                                     # duckdb opens it
+    got = praw.read_file(p)
+    got.validate(full=True)
+    assert got.to_pylist() == tbl.to_pylist()                    # we open it
+
+
+def test_map_read_pyarrow_written(tmp_path):
+    tbl = _map_table(250)
+    p = str(tmp_path / "maps_pa.parquet")
+    pq.write_table(tbl, p, data_page_version="1.0", compression="snappy",
+                   store_schema=False)
+    got = praw.read_file(p)
+    assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_map_nested_and_multi_row_group(tmp_path):
+    n = 300
+    tbl = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        # map inside a (sometimes-null) struct
+        "s": pa.array(
+            [None if i % 5 == 0 else {"name": f"n{i % 7}", "attrs": {"x": i % 3}}
+             for i in range(n)],
+            pa.struct([pa.field("name", pa.string()),
+                       pa.field("attrs", pa.map_(pa.string(), pa.int32()))]),
+        ),
+        # list of maps
+        "lm": pa.array(
+            [[{"a": i % 9}, {}, None][0:(i % 4)] for i in range(n)],
+            pa.list_(pa.map_(pa.string(), pa.int32())),
+        ),
+    })
+    p = str(tmp_path / "maps_nested.parquet")
+    praw.write_file(p, tbl, compression="snappy", page_rows=77, row_group_rows=110)
+    assert pq.read_table(p).to_pylist() == tbl.to_pylist()
+    got = praw.read_file(p)
+    got.validate(full=True)
+    assert got.to_pylist() == tbl.to_pylist()
