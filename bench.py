@@ -99,18 +99,39 @@ def main() -> None:
     # min-of-9 at driver core counts (VERDICT r4: min-of-5 let one
     # congested host stretch set the round's headline — r04's own window
     # read 2.12x on unchanged code while adjacent runs read 1.37-1.53x;
-    # more interleaved rounds per leg is the honest fix, not window-picking)
+    # more interleaved rounds per leg is the honest fix, not window-picking).
+    # Rounds are ADAPTIVE on top of the floor: host congestion arrives in
+    # multi-minute stretches (measured r5: the identical encode job 28-96 s
+    # vs 1.3 s nominal inside one session, parquet baseline 11-37 s vs
+    # 0.6 s — the DRAM bus, hitting both legs alike), so when the pairs
+    # sampled so far are slow, keep sampling — up to the rep cap or the
+    # time budget — to give min-of-N a chance to land in a quiet stretch;
+    # a quiet session still stops at the floor (~20 s total).
     n_reps = int(os.environ.get("SPARK_GRAFT_ENCODE_REPS", "9" if cpus >= 16 else "5"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_ENCODE_MAX_REPS", str(max(n_reps * 3, 24))))
+    budget_s = float(os.environ.get("SPARK_GRAFT_ENCODE_BUDGET_S", "420"))
     enc_path = os.path.join(work, "encoded")
     pq_path = os.path.join(work, "parquet_baseline")
     enc_runs, pq_runs = [], []
-    for _ in range(n_reps):
+    legs_t0 = time.perf_counter()
+    while True:
         t0 = time.perf_counter()
         write_encoded(seq, enc_path, target_partitions=64, resume=False)
         enc_runs.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         seq.write.mode("overwrite").option("compression", "snappy").parquet(pq_path)
         pq_runs.append(time.perf_counter() - t0)
+        elapsed = time.perf_counter() - legs_t0
+        n = len(enc_runs)
+        if n >= max_reps or (n >= n_reps and elapsed > budget_s):
+            break
+        if n >= n_reps:
+            # floor reached: keep going only while the evidence says the
+            # window is congested — the best pair so far is much slower
+            # than the best single legs would combine to
+            best_pair = min(e + p for e, p in zip(enc_runs, pq_runs))
+            if best_pair <= 1.5 * (min(enc_runs) + min(pq_runs)):
+                break
     timings["encode_sequences"] = min(enc_runs)
     timings["parquet_write_baseline"] = min(pq_runs)
     extras["encode_runs_sec"] = [round(r, 3) for r in enc_runs]
