@@ -109,7 +109,7 @@ def main() -> None:
     # a quiet session still stops at the floor (~20 s total).
     n_reps = int(os.environ.get("SPARK_GRAFT_ENCODE_REPS", "9" if cpus >= 16 else "5"))
     max_reps = int(os.environ.get("SPARK_GRAFT_ENCODE_MAX_REPS", str(max(n_reps * 3, 24))))
-    budget_s = float(os.environ.get("SPARK_GRAFT_ENCODE_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_ENCODE_BUDGET_S", "240"))
     enc_path = os.path.join(work, "encoded")
     pq_path = os.path.join(work, "parquet_baseline")
     enc_runs, pq_runs = [], []
