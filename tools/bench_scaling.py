@@ -263,6 +263,18 @@ def main() -> None:
                     engine_runs[c] = list(prev.get("engine_runs_sec", {}).get(str(c), []))
             if prev.get("rows") == rows and prev.get("code_rev") == CODE_REV:
                 paired_rounds = list(prev.get("paired_rounds", []))
+            else:
+                # a row-count/revision mismatch means this run starts a NEW
+                # engine record — archive the old one instead of silently
+                # overwriting an accumulated multi-session record
+                arch = os.path.join(
+                    ROOT,
+                    f"BENCH_SCALING_{prev.get('rows')}_{prev.get('code_rev')}.json",
+                )
+                if not os.path.exists(arch):
+                    shutil.copy(prev_path, arch)
+                print(f"rows/code_rev mismatch: archived prior record to {arch}",
+                      file=sys.stderr)
         except (json.JSONDecodeError, KeyError):
             pass
     results: dict[int, dict] = {}
