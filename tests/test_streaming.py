@@ -234,3 +234,78 @@ def test_streaming_session_window_append_with_watermark(spark, tmp_path):
     assert out[1]["t_end"] == t0 + 35 * m
     assert 2 in out and out[2]["n_events"] == 1
     assert 91 not in out
+
+
+# ------------------------------------------------- streaming SOURCE (tail)
+
+
+def test_stream_source_tails_batches(spark, workdir, tmp_path):
+    """read_encoded_stream: availableNow drains existing batches; a second
+    start with the SAME checkpoint sees only batches appended since —
+    exactly-once tailing over the table layout."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded
+    from parquet_spark.sources.synth import sequences_df
+    from parquet_spark.streaming.decode_stream import read_encoded_stream
+
+    src = sequences_df(spark, 2000, seed=23, n_partitions=4)
+    b1 = src.where(F.col("n_tok") % 2 == 0)
+    b2 = src.where(F.col("n_tok") % 2 != 0)
+    append_encoded(b1, workdir, target_partitions=4)
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+    q = (
+        read_encoded_stream(spark, workdir)
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out1)
+    assert got1.count() == b1.count()
+    assert _crc(got1) == _crc(b1)
+
+    # append a second batch; a new run on the same checkpoint processes
+    # ONLY the new files
+    append_encoded(b2, workdir, target_partitions=4)
+    q = (
+        read_encoded_stream(spark, workdir)
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_all = spark.read.parquet(out1)
+    assert got_all.count() == src.count()
+    assert _crc(got_all) == _crc(read_encoded(spark, workdir))
+
+
+def test_stream_source_projection_and_missing_snapshot(spark, workdir, tmp_path):
+    from parquet_spark.operators.encode import append_encoded
+    from parquet_spark.sources.synth import sequences_df
+    from parquet_spark.streaming.decode_stream import read_encoded_stream
+
+    with pytest.raises(FileNotFoundError):
+        read_encoded_stream(spark, str(tmp_path / "nope"))
+
+    append_encoded(
+        sequences_df(spark, 1500, seed=29, n_partitions=4), workdir, target_partitions=4
+    )
+    sdf = read_encoded_stream(spark, workdir, columns=["doc_id", "n_tok"])
+    assert sdf.isStreaming and sdf.columns == ["doc_id", "n_tok"]
+    out = str(tmp_path / "out_proj")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_proj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1500 and set(got.columns) == {"doc_id", "n_tok"}
