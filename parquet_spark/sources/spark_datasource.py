@@ -1,0 +1,215 @@
+"""The encoded table as a first-class Spark data source:
+
+    from parquet_spark.sources.spark_datasource import register
+    register(spark)
+    df = spark.read.format("parquet_spark").load("/data/table")
+    df = (spark.read.format("parquet_spark")
+          .option("as_of", 3).option("verify", "true").load(path))
+
+Built on the Spark 4 Python Data Source API (pyspark.sql.datasource) —
+the idiomatic `spark.read.format(...)` surface over the same storage
+layout and decode kernels as `operators.decode.read_encoded`:
+
+- one input partition per (block file, row group) — the same parallelism
+  grain as the parquet scan in the mapInArrow path, balanced because
+  encode writes 32 MB row groups;
+- predicate pushdown (`pushFilters`) prunes partitions using the parquet
+  ROW-GROUP STATISTICS of the typed `_min_<col>`/`_max_<col>` stats
+  columns — pure footer metadata, zero data IO for skipped groups. Every
+  filter is also returned to Spark for exact row-level application, so
+  pruning can only skip, never change results;
+- `as_of` time-travel resolves the historical generation + batch
+  high-water mark exactly like `read_encoded(as_of=...)`;
+- `verify` crc-gates payloads against the recorded block checksums.
+
+Column pruning is not part of the Python DS reader API (the reader
+returns full-schema batches); projection-heavy jobs should keep using
+`read_encoded(columns=[...])`, which decodes only the requested payload
+columns. Writes go through `write_encoded`/`append_encoded`/the
+streaming sink — this source is read-only by design (the write path's
+salting/probe/manifest logic needs the richer API).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import TYPE_CHECKING, Iterable, Iterator
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_BATCH_RE = re.compile(r"batch=(\d+)")
+
+
+class EncodedTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_spark"
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(_snap(self.options)["schema"])
+
+    def reader(self, schema: StructType) -> "EncodedTableReader":
+        return EncodedTableReader(dict(self.options), schema)
+
+
+def _snap(options) -> dict:
+    from parquet_spark.operators.encode import read_snapshot
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("parquet_spark source requires a path: .load('/table/dir')")
+    as_of = options.get("as_of")
+    snap = read_snapshot(path, as_of=int(as_of) if as_of is not None else None)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot.json under {path}")
+    return snap
+
+
+class EncodedTableReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.options = options
+        self.schema = schema
+        self.path = options.get("path")
+        self.verify = str(options.get("verify", "false")).lower() == "true"
+        self.snap = _snap(options)
+        self.data_dir = os.path.join(self.path, self.snap.get("data_dir", "data"))
+        as_of = options.get("as_of")
+        self.max_batch = (
+            self.snap.get("max_batch") if as_of is not None else None
+        )
+        self._pruning: list[Filter] = []
+
+    # -------------------------------------------------- filter pushdown
+    def pushFilters(self, filters: list["Filter"]) -> Iterable["Filter"]:
+        """Keep stats-prunable predicates for partition pruning; return
+        EVERY filter so Spark still applies them row-level (pruning is
+        IO-skip only — semantics never depend on it)."""
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                               LessThan, LessThanOrEqual, In))
+                and len(f.attribute) == 1
+            ):
+                self._pruning.append(f)
+        return filters
+
+    # -------------------------------------------------- partition planning
+    def partitions(self) -> list[InputPartition]:
+        import pyarrow.parquet as pq
+
+        from parquet_spark import tablefs
+
+        files = sorted(
+            p for p in tablefs.list_files(self.data_dir)
+            if p.endswith(".parquet") and not os.path.basename(p).startswith(("_", "."))
+        )
+        if self.max_batch is not None:
+            keep_b = []
+            for p in files:
+                m = _BATCH_RE.search(p)
+                if m is None or int(m.group(1)) <= int(self.max_batch):
+                    keep_b.append(p)
+            files = keep_b
+        fs, _, _ = tablefs.resolve(self.data_dir)
+        parts: list[InputPartition] = []
+        for path in files:
+            meta = pq.read_metadata(path, filesystem=fs)
+            names = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+            for rg in range(meta.num_row_groups):
+                if self._keep_row_group(meta.row_group(rg), names):
+                    parts.append(InputPartition((path, rg)))
+        return parts
+
+    def _keep_row_group(self, rg, names: dict) -> bool:
+        """Conservative skip decision from the row group's footer stats of
+        the typed _min_/_max_ stats columns (the same min/max the
+        mapInArrow path pushes into Catalyst). Missing stats => keep."""
+        for f in self._pruning:
+            col = f.attribute[0]
+            imin, imax = names.get(f"_min_{col}"), names.get(f"_max_{col}")
+            if imin is None or imax is None:
+                continue
+            smin, smax = rg.column(imin).statistics, rg.column(imax).statistics
+            if smin is None or smax is None or not smin.has_min_max or not smax.has_min_max:
+                continue
+            lo, hi = smin.min, smax.max  # bounds over the group's blocks
+            try:
+                if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
+                    return False
+                if isinstance(f, In) and f.value and not any(
+                    lo <= v <= hi for v in f.value
+                ):
+                    return False
+                if isinstance(f, GreaterThan) and not (hi > f.value):
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and not (hi >= f.value):
+                    return False
+                if isinstance(f, LessThan) and not (lo < f.value):
+                    return False
+                if isinstance(f, LessThanOrEqual) and not (lo <= f.value):
+                    return False
+            except TypeError:
+                continue  # incomparable literal vs stats type: keep
+        return True
+
+    # -------------------------------------------------- partition read
+    def read(self, partition: InputPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from parquet_spark import tablefs
+        from parquet_spark.operators.decode import _decode_fn
+
+        if partition is None:  # planner saw zero partitions (all pruned)
+            return
+
+        path, rg = partition.value
+        fs, _, _ = tablefs.resolve(self.data_dir)
+        pf = pq.ParquetFile(path, filesystem=fs)
+        columns = [f.name for f in self.schema.fields]
+        have = set(pf.schema_arrow.names)
+        want = [c for c in columns if c in have] + ["n_rows"] + (
+            ["meta"] if self.verify else []
+        )
+        tbl = pf.read_row_group(rg, columns=want)
+        n = tbl.num_rows
+        for c in columns:
+            if c not in have:  # additive schema evolution: null payloads
+                tbl = tbl.append_column(c, pa.nulls(n, pa.binary()))
+        expected = {f.name: to_arrow_type(f.dataType) for f in self.schema.fields}
+        for batch in tbl.to_batches():
+            for out in _decode_fn(columns, self.schema, self.verify)([batch]):
+                arrays = [
+                    a if a.type == expected[c] else a.cast(expected[c])
+                    for c, a in zip(columns, out.columns)
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=columns)
+
+
+def register(spark) -> None:
+    """Register the source for this session: enables
+    spark.read.format("parquet_spark").load(path).
+
+    Python-data-source filter pushdown is gated by a session conf that
+    defaults OFF — and a reader that implements pushFilters() fails
+    planning outright while it is off — so registration turns it on."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(EncodedTableDataSource)

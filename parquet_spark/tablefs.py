@@ -102,6 +102,17 @@ def listdir(path: str) -> list[str]:
     return [name for name, _ in list_infos(path)]
 
 
+def list_files(path: str) -> list[str]:
+    """All files under `path`, recursive, as fs-internal full paths
+    (pair with the filesystem handle from resolve() for opens).
+    Missing directory -> empty list."""
+    fs, p, _ = resolve(path)
+    sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    return sorted(
+        i.path for i in fs.get_file_info(sel) if i.type == pafs.FileType.File
+    )
+
+
 def read_bytes(path: str) -> bytes:
     fs, p, _ = resolve(path)
     with fs.open_input_stream(p) as f:

@@ -1,0 +1,89 @@
+"""The encoded table as a Spark Python Data Source:
+spark.read.format("parquet_spark").load(path) — schema from snapshot,
+(file, row-group) partitions, footer-stats partition pruning, as_of
+time travel, crc verify. Results must equal read_encoded on every path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_spark.operators.decode import read_encoded
+from parquet_spark.operators.encode import write_encoded
+from parquet_spark.sources.spark_datasource import (
+    EncodedTableReader,
+    register,
+)
+from parquet_spark.sources.synth import sequences_df
+
+
+def _crc(df):
+    return df.agg(
+        F.sum(F.crc32(F.concat_ws(",", F.col("doc_id"), F.col("tokens").cast("string"))))
+    ).collect()[0][0]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    src = sequences_df(spark, 4000, seed=13, n_partitions=4)
+    path = str(tmp_path / "t")
+    write_encoded(src, path, target_partitions=8, resume=False, cluster_col="n_tok")
+    register(spark)
+    return src, path
+
+
+def test_datasource_full_read_matches(spark, table):
+    src, path = table
+    df = spark.read.format("parquet_spark").load(path)
+    assert df.schema == src.schema
+    assert df.count() == src.count()
+    assert _crc(df) == _crc(src)
+
+
+def test_datasource_filter_matches_and_prunes(spark, table):
+    src, path = table
+    df = spark.read.format("parquet_spark").load(path)
+    for cond in (F.col("n_tok") > 400, F.col("n_tok") <= 30,
+                 F.col("source") == "wiki"):
+        got, want = df.where(cond), src.where(cond)
+        assert got.count() == want.count()
+        assert _crc(got) == _crc(want)
+
+    # pruning skips row groups: with a cluster_col-ordered table, a tight
+    # n_tok range must plan fewer partitions than the full scan
+    from pyspark.sql.datasource import GreaterThan
+
+    r = EncodedTableReader({"path": path}, df.schema)
+    all_parts = r.partitions()
+    r2 = EncodedTableReader({"path": path}, df.schema)
+    r2.pushFilters([GreaterThan(("n_tok",), 1_000_000)])  # beyond max
+    assert len(r2.partitions()) < len(all_parts)
+    assert len(all_parts) > 0
+
+
+def test_datasource_verify_and_missing_table(spark, table, tmp_path):
+    src, path = table
+    df = spark.read.format("parquet_spark").option("verify", "true").load(path)
+    assert _crc(df) == _crc(src)
+    with pytest.raises(Exception, match="snapshot"):
+        spark.read.format("parquet_spark").load(str(tmp_path / "nope")).count()
+
+
+def test_datasource_as_of_batches(spark, tmp_path):
+    from parquet_spark.operators.encode import append_encoded, list_snapshots
+
+    src = sequences_df(spark, 2000, seed=17, n_partitions=4)
+    b1 = src.where(F.col("n_tok") % 2 == 0)
+    b2 = src.where(F.col("n_tok") % 2 != 0)
+    path = str(tmp_path / "tt")
+    append_encoded(b1, path, target_partitions=4)
+    seq1 = max(s["sequence"] for s in list_snapshots(path))
+    append_encoded(b2, path, target_partitions=4)
+    register(spark)
+    live = spark.read.format("parquet_spark").load(path)
+    assert live.count() == src.count()
+    old = spark.read.format("parquet_spark").option("as_of", seq1).load(path)
+    assert old.count() == b1.count()
+    assert _crc(old) == _crc(read_encoded(spark, path, as_of=seq1))
