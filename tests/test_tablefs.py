@@ -238,3 +238,15 @@ def test_same_local_filesystem_move_still_renames(tmp_path):
     tablefs.move(str(src), str(tmp_path / "b.bin"))
     assert (tmp_path / "b.bin").read_bytes() == b"x"
     assert not src.exists()
+
+
+def test_list_files_recursive(tmp_path):
+    d = tmp_path / "root"
+    (d / "batch=0").mkdir(parents=True)
+    (d / "batch=1").mkdir()
+    (d / "batch=0" / "a.parquet").write_bytes(b"x")
+    (d / "batch=1" / "b.parquet").write_bytes(b"y")
+    (d / "top.parquet").write_bytes(b"z")
+    got = tablefs.list_files(str(d))
+    assert [p.rsplit("/", 1)[-1] for p in got] == ["a.parquet", "b.parquet", "top.parquet"]
+    assert tablefs.list_files(str(tmp_path / "missing")) == []
