@@ -123,15 +123,21 @@ def main() -> None:
         pq_runs.append(time.perf_counter() - t0)
         elapsed = time.perf_counter() - legs_t0
         n = len(enc_runs)
-        if n >= max_reps or (n >= n_reps and elapsed > budget_s):
+        if n >= max_reps or elapsed > 2.5 * budget_s:  # hard caps
             break
-        if n >= n_reps:
-            # floor reached: keep going only while the evidence says the
-            # window is congested — the best pair so far is much slower
-            # than the best single legs would combine to
-            best_pair = min(e + p for e, p in zip(enc_runs, pq_runs))
-            if best_pair <= 1.5 * (min(enc_runs) + min(pq_runs)):
-                break
+        if n < n_reps:
+            continue
+        # past the floor. Congested windows decay over minutes (measured:
+        # 43->4 s across 9 pairs in one r5 session), so a fresh minimum in
+        # the last two pairs means capability is still being approached —
+        # keep sampling even past the soft budget.
+        improving = min(enc_runs) in enc_runs[-2:] or min(pq_runs) in pq_runs[-2:]
+        best_pair = min(e + p for e, p in zip(enc_runs, pq_runs))
+        congested = best_pair > 1.5 * (min(enc_runs) + min(pq_runs))
+        if not congested and not improving:
+            break
+        if elapsed > budget_s and not improving:
+            break
     timings["encode_sequences"] = min(enc_runs)
     timings["parquet_write_baseline"] = min(pq_runs)
     extras["encode_runs_sec"] = [round(r, 3) for r in enc_runs]
