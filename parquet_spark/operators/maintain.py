@@ -394,11 +394,29 @@ def compact_table(
     block_rows: int | None = None,
     target_partitions: int | None = None,
     min_fill_ratio: float = 0.5,
+    incremental: bool = True,
+    copy_fill_ratio: float = 0.9,
     **encode_kwargs,
 ) -> dict:
-    """Rewrite `path` at full block size if its mean block fill is below
+    """Refold `path` at full block size if its mean block fill is below
     `min_fill_ratio`. Returns the before/after report; no-op (and no
-    rewrite) when the table is already compact."""
+    rewrite) when the table is already compact.
+
+    `incremental=True` (default) is the 100-TB shape: blocks already at
+    ≥ `copy_fill_ratio` × target rows COPY into the new generation
+    byte-for-byte (no decode — same `_commit_cow` path as delete_where),
+    and only the fragmented tail decodes, round-robins into
+    full-block-sized partitions, and re-encodes. A streaming table whose
+    history is mostly compacted pays O(fragmented tail), not O(table),
+    per maintenance sweep. `incremental=False` keeps the full rewrite
+    through `write_encoded` (re-salting, re-clustering — use it when the
+    PARTITIONING needs redoing, not just the block packing); passing
+    plan-affecting arguments (`target_partitions`, or any write_encoded
+    kwarg like bucket_mode/cluster_col) selects the full rewrite
+    automatically, since incremental compaction preserves the existing
+    partitioning by construction."""
+    if incremental and (target_partitions is not None or encode_kwargs):
+        incremental = False
     snap = read_snapshot(path)
     if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
@@ -406,6 +424,41 @@ def compact_table(
     before = fragmentation(spark, path, target)
     if before["fill_ratio"] >= min_fill_ratio:
         return {"compacted": False, "before": before, "after": before}
+
+    if incremental:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        from parquet_spark.operators.decode import decode_table
+
+        schema = StructType.fromJson(snap["schema"])
+        blocks = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, snap.get("data_dir", "data"))
+        )
+        if "batch" in blocks.columns:  # flatten batch layout, like delete
+            blocks = blocks.drop("batch")
+        frag_cond = F.col("n_rows") < int(target * copy_fill_ratio)
+        frag, full = blocks.where(frag_cond), blocks.where(~frag_cond)
+        frag_rows = int(
+            frag.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
+        )
+        rows = decode_table(frag, schema)
+        # repack: ~8 full blocks per partition so the re-encode emits full
+        # blocks regardless of how many tiny source files the tail spans
+        n_parts = max(1, frag_rows // (target * 8))
+        rows = rows.repartition(n_parts)
+        stats, n_copied = _commit_cow(
+            spark, path, snap, schema.json(), [f.name for f in schema.fields],
+            full, rows, "compact", block_rows=target,
+        )
+        new_snap = read_snapshot(path)
+        _sweep_orphan_generations(path, new_snap)
+        after = fragmentation(spark, path, target)
+        return {
+            "compacted": True, "before": before, "after": after,
+            "blocks_copied": n_copied,
+            "blocks_rewritten": int(stats["blocks"]) - n_copied,
+        }
 
     # the read plan is lazy over the OLD generation; the write streams into
     # a fresh one — old data is untouched until the pointer swap commits

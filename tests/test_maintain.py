@@ -528,3 +528,42 @@ def test_merge_into_additive_column_evolves(spark, tmp_path):
     assert back.where(F.col("note").isNotNull()).count() == 1
     assert back.where(F.col("doc_id") == 10).collect()[0]["note"] == "fixed"
     assert back.count() == 8000
+
+
+def test_incremental_compaction_copies_full_blocks(spark, tmp_path):
+    """Incremental compaction (the 100-TB maintenance shape): blocks
+    already at full size COPY byte-for-byte; only the fragmented tail
+    decodes and re-packs into full blocks. Content is crc-identical and
+    fill ratio improves."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import append_encoded
+    from parquet_spark.operators.maintain import compact_table, fragmentation
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "inc_compact")
+    big = sequences_df(spark, 4000, seed=41, n_partitions=2)
+    append_encoded(big, path, target_partitions=2, block_rows=512)
+    # fragmented tail: many tiny appends
+    for i in range(4):
+        tiny = sequences_df(spark, 60, seed=50 + i, n_partitions=1)
+        append_encoded(tiny, path, target_partitions=1, block_rows=512)
+    crc_before = read_encoded(spark, path).agg(
+        F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string"))))
+    ).collect()[0][0]
+    n_before = read_encoded(spark, path).count()
+    frag_before = fragmentation(spark, path, 512)
+
+    rep = compact_table(spark, path, min_fill_ratio=0.95)
+    assert rep["compacted"]
+    assert rep["blocks_copied"] > 0 and rep["blocks_rewritten"] > 0
+    assert rep["after"]["fill_ratio"] > frag_before["fill_ratio"]
+
+    back = read_encoded(spark, path)
+    assert back.count() == n_before
+    crc_after = back.agg(
+        F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string"))))
+    ).collect()[0][0]
+    assert crc_after == crc_before
+    # already-compact table: second sweep is a no-op
+    rep2 = compact_table(spark, path, min_fill_ratio=0.5)
+    assert not rep2["compacted"]
