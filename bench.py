@@ -114,13 +114,23 @@ def main() -> None:
     pq_path = os.path.join(work, "parquet_baseline")
     enc_runs, pq_runs = [], []
     legs_t0 = time.perf_counter()
-    while True:
+    def _enc_leg():
         t0 = time.perf_counter()
         write_encoded(seq, enc_path, target_partitions=64, resume=False)
         enc_runs.append(time.perf_counter() - t0)
+
+    def _pq_leg():
         t0 = time.perf_counter()
         seq.write.mode("overwrite").option("compression", "snappy").parquet(pq_path)
         pq_runs.append(time.perf_counter() - t0)
+
+    while True:
+        # alternate leg order between pairs: in a decaying congestion
+        # window a fixed order hands the second leg a systematically
+        # quieter slice — counterbalancing removes that bias from the
+        # paired ratios
+        first, second = (_enc_leg, _pq_leg) if len(enc_runs) % 2 == 0 else (_pq_leg, _enc_leg)
+        first(); second()
         elapsed = time.perf_counter() - legs_t0
         n = len(enc_runs)
         if n >= max_reps or elapsed > 2.5 * budget_s:  # hard caps
