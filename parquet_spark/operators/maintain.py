@@ -439,9 +439,16 @@ def compact_table(
             blocks = blocks.drop("batch")
         frag_cond = F.col("n_rows") < int(target * copy_fill_ratio)
         frag, full = blocks.where(frag_cond), blocks.where(~frag_cond)
-        frag_rows = int(
-            frag.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
-        )
+        frag_agg = frag.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("r"), F.count("*").alias("b")
+        ).collect()[0]
+        frag_rows, frag_blocks = int(frag_agg["r"]), int(frag_agg["b"])
+        if frag_blocks <= 1:
+            # nothing to repack (every block already >= copy_fill_ratio ×
+            # target, or a single partial tail block): a sweep would copy
+            # the WHOLE table into a new generation with zero improvement,
+            # forever — converge by declining instead (review finding)
+            return {"compacted": False, "before": before, "after": before}
         rows = decode_table(frag, schema)
         # repack: ~8 full blocks per partition so the re-encode emits full
         # blocks regardless of how many tiny source files the tail spans

@@ -1219,8 +1219,11 @@ def _dremel_tree(c: dict) -> tuple[dict, list[dict]]:
             return dict(node="list", name=node["name"], opt=opt, elem=elem)
         if (len(ch) == 1 and ch[0]["rep_t"] == REPEATED and ch[0]["children"] is not None
                 and len(ch[0]["children"]) == 2
-                and (node["conv"] in (CONVERTED_MAP, CONVERTED_MAP_KEY_VALUE)
-                     or ch[0]["name"] == "key_value")):
+                and node["conv"] in (CONVERTED_MAP, CONVERTED_MAP_KEY_VALUE)):
+            # annotation-gated only: an UNANNOTATED repeated 2-field group
+            # named key_value is a legitimate repeated-group list (the
+            # reference's 2-level layout) and must not be forced into a
+            # MapArray — null "keys" would crash, names would be lost
             # 2-level MAP: repeated key_value group of (key, value) —
             # modelled as a list of the (non-nullable) entries struct and
             # assembled into a pa.MapArray (is_map flag)

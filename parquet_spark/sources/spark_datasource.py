@@ -62,10 +62,15 @@ class EncodedTableDataSource(DataSource):
         return "parquet_spark"
 
     def schema(self) -> StructType:
-        return StructType.fromJson(_snap(self.options)["schema"])
+        # resolved once and handed to the reader: one storage round-trip
+        # per load, and schema + partition planning can never observe two
+        # different snapshots under a concurrent commit
+        self._snap = _snap(self.options)
+        return StructType.fromJson(self._snap["schema"])
 
     def reader(self, schema: StructType) -> "EncodedTableReader":
-        return EncodedTableReader(dict(self.options), schema)
+        snap = getattr(self, "_snap", None) or _snap(self.options)
+        return EncodedTableReader(dict(self.options), schema, snap)
 
 
 def _snap(options) -> dict:
@@ -82,12 +87,12 @@ def _snap(options) -> dict:
 
 
 class EncodedTableReader(DataSourceReader):
-    def __init__(self, options: dict, schema: StructType) -> None:
+    def __init__(self, options: dict, schema: StructType, snap: dict | None = None) -> None:
         self.options = options
         self.schema = schema
         self.path = options.get("path")
         self.verify = str(options.get("verify", "false")).lower() == "true"
-        self.snap = _snap(options)
+        self.snap = snap if snap is not None else _snap(options)
         self.data_dir = os.path.join(self.path, self.snap.get("data_dir", "data"))
         as_of = options.get("as_of")
         self.max_batch = (
@@ -115,26 +120,50 @@ class EncodedTableReader(DataSourceReader):
 
         from parquet_spark import tablefs
 
+        fs, fs_data_dir, _ = tablefs.resolve(self.data_dir)
+        root = fs_data_dir.rstrip("/") + "/"
+
+        def rel(p: str) -> str:
+            return p[len(root):] if p.startswith(root) else p
+
+        def visible(p: str) -> bool:
+            # match Spark's listing rule: a hidden COMPONENT anywhere
+            # below data_dir (e.g. batch=3/_temporary/attempt_x/part.pq —
+            # uncommitted task output) excludes the file
+            return not any(c.startswith(("_", ".")) for c in rel(p).split("/"))
+
         files = sorted(
             p for p in tablefs.list_files(self.data_dir)
-            if p.endswith(".parquet") and not os.path.basename(p).startswith(("_", "."))
+            if p.endswith(".parquet") and visible(p)
         )
         if self.max_batch is not None:
+            # batch id from the path RELATIVE to data_dir — a batch=N
+            # component in the table's own path must not be mistaken
             keep_b = []
             for p in files:
-                m = _BATCH_RE.search(p)
+                m = _BATCH_RE.search(rel(p))
                 if m is None or int(m.group(1)) <= int(self.max_batch):
                     keep_b.append(p)
             files = keep_b
-        fs, _, _ = tablefs.resolve(self.data_dir)
-        parts: list[InputPartition] = []
-        for path in files:
+
+        # footer reads are pure metadata but latency-bound on object
+        # stores — fan them out; order of parts stays deterministic
+        from concurrent.futures import ThreadPoolExecutor
+
+        def plan(path: str) -> list[InputPartition]:
             meta = pq.read_metadata(path, filesystem=fs)
             names = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
-            for rg in range(meta.num_row_groups):
-                if self._keep_row_group(meta.row_group(rg), names):
-                    parts.append(InputPartition((path, rg)))
-        return parts
+            return [
+                InputPartition((path, rg))
+                for rg in range(meta.num_row_groups)
+                if self._keep_row_group(meta.row_group(rg), names)
+            ]
+
+        if not files:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            planned = list(ex.map(plan, files))
+        return [p for file_parts in planned for p in file_parts]
 
     def _keep_row_group(self, rg, names: dict) -> bool:
         """Conservative skip decision from the row group's footer stats of

@@ -567,3 +567,24 @@ def test_incremental_compaction_copies_full_blocks(spark, tmp_path):
     # already-compact table: second sweep is a no-op
     rep2 = compact_table(spark, path, min_fill_ratio=0.5)
     assert not rep2["compacted"]
+
+
+def test_incremental_compaction_converges(spark, tmp_path):
+    """Review finding: a table whose blocks all sit between
+    copy_fill_ratio and min_fill_ratio must NOT be rewritten every sweep
+    (copy-the-world with zero improvement) — the sweep declines."""
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+    from parquet_spark.operators.maintain import compact_table
+
+    path = str(tmp_path / "conv")
+    df = spark.range(0, 1920).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9).alias("v")
+    )
+    # 480-row blocks vs target 512: fill 0.9375 — above copy_fill_ratio
+    # (0.9), below a min_fill_ratio of 0.95
+    write_encoded(df, path, target_partitions=1, block_rows=480,
+                  resume=False, bucket_mode="partition")
+    seq_before = read_snapshot(path)["sequence"]
+    rep = compact_table(spark, path, block_rows=512, min_fill_ratio=0.95)
+    assert not rep["compacted"]
+    assert read_snapshot(path)["sequence"] == seq_before  # no new generation

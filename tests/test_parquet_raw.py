@@ -807,3 +807,38 @@ def test_map_nested_and_multi_row_group(tmp_path):
     got = praw.read_file(p)
     got.validate(full=True)
     assert got.to_pylist() == tbl.to_pylist()
+
+
+def test_unannotated_key_value_group_is_not_a_map():
+    """Review finding: a repeated 2-field group NAMED key_value but with
+    no MAP annotation is a plain repeated-group list (the reference's
+    2-level layout) — forcing it into MapArray would crash on null
+    'keys' and lose field names."""
+    elems = [
+        {4: b"schema", 5: 1},
+        {3: praw.OPTIONAL, 4: b"foo", 5: 1},                      # outer group, NO conv
+        {3: praw.REPEATED, 4: b"key_value", 5: 2},
+        {1: praw.T_BYTE_ARRAY, 3: praw.OPTIONAL, 4: b"a", 6: 0},
+        {1: praw.T_INT32, 3: praw.OPTIONAL, 4: b"b"},
+    ]
+    info = praw._parse_schema(elems)[0]
+    assert info["kind"] == "dremel"
+
+    def find_maps(node):
+        if node.get("is_map"):
+            return True
+        kids = node.get("children") or ([node["elem"]] if "elem" in node else [])
+        return any(find_maps(k) for k in kids)
+
+    assert not find_maps(info["tree"])
+    # the annotated form still classifies as a map
+    elems[1][6] = praw.CONVERTED_MAP
+    info2 = praw._parse_schema(elems)[0]
+
+    def has_map(node):
+        if node.get("is_map"):
+            return True
+        kids = node.get("children") or ([node["elem"]] if "elem" in node else [])
+        return any(has_map(k) for k in kids)
+
+    assert has_map(info2["tree"])

@@ -87,3 +87,42 @@ def test_datasource_as_of_batches(spark, tmp_path):
     old = spark.read.format("parquet_spark").option("as_of", seq1).load(path)
     assert old.count() == b1.count()
     assert _crc(old) == _crc(read_encoded(spark, path, as_of=seq1))
+
+
+def test_datasource_ignores_hidden_dirs(spark, table, tmp_path):
+    """Review finding: uncommitted task output under _temporary/ (or any
+    hidden path component) must not be planned as table data."""
+    import os
+    import shutil
+
+    src, path = table
+    from parquet_spark.operators.encode import read_snapshot
+
+    data_dir = os.path.join(path, read_snapshot(path).get("data_dir", "data"))
+    real = next(
+        f for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    hidden = os.path.join(data_dir, "_temporary", "0")
+    os.makedirs(hidden)
+    shutil.copy(os.path.join(data_dir, real), os.path.join(hidden, "part-junk.parquet"))
+    df = spark.read.format("parquet_spark").load(path)
+    assert df.count() == src.count()  # phantom copy not double-counted
+
+
+def test_datasource_batch_regex_anchored(spark, tmp_path):
+    """Review finding: a batch=N component in the TABLE's own path must
+    not be mistaken for a file's batch id during as_of scoping."""
+    from parquet_spark.operators.encode import append_encoded, list_snapshots
+    from parquet_spark.sources.synth import sequences_df
+
+    base = tmp_path / "batch=7"
+    base.mkdir()
+    path = str(base / "t")
+    b1 = sequences_df(spark, 300, seed=3, n_partitions=2)
+    append_encoded(b1, path, target_partitions=2)
+    seq1 = max(s["sequence"] for s in list_snapshots(path))
+    append_encoded(sequences_df(spark, 200, seed=4, n_partitions=2), path, target_partitions=2)
+    register(spark)
+    old = spark.read.format("parquet_spark").option("as_of", seq1).load(path)
+    assert old.count() == 300  # batch=7 in the table path must not zero this

@@ -267,12 +267,14 @@ def main() -> None:
                 # a row-count/revision mismatch means this run starts a NEW
                 # engine record — archive the old one instead of silently
                 # overwriting an accumulated multi-session record
-                arch = os.path.join(
+                base = os.path.join(
                     ROOT,
-                    f"BENCH_SCALING_{prev.get('rows')}_{prev.get('code_rev')}.json",
+                    f"BENCH_SCALING_{prev.get('rows')}_{prev.get('code_rev')}",
                 )
-                if not os.path.exists(arch):
-                    shutil.copy(prev_path, arch)
+                arch, n = f"{base}.json", 1
+                while os.path.exists(arch):  # never clobber an archive
+                    arch, n = f"{base}-{n}.json", n + 1
+                shutil.copy(prev_path, arch)
                 print(f"rows/code_rev mismatch: archived prior record to {arch}",
                       file=sys.stderr)
         except (json.JSONDecodeError, KeyError):
