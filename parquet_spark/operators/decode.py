@@ -124,15 +124,29 @@ def _bloom_keep_udf(probes: list[bytes]):
 def _block_keep_condition(col: str, op: str, value):
     """Can a block with [vmin, vmax] contain a row satisfying (col op value)?
     Blocks without stats (null vmin) are always kept — pruning is an
-    optimization, never a correctness filter."""
+    optimization, never a correctness filter.
+
+    The returned Column is NEVER NULL (review finding): a NULL literal
+    among the values (or as the value) makes the comparison NULL under
+    three-valued logic, and callers that split a relation into
+    where(cond) / where(~cond) — delete_where, merge_into — would drop
+    NULL-condition blocks from BOTH sides, silently losing data. NULL
+    coalesces to True: keep the block."""
     from pyspark.sql import functions as F
+
+    def _nn(c):  # pruning condition contract: NULL => keep
+        return F.coalesce(c, F.lit(True))
 
     vmin, vmax = F.col(f"_min_{col}"), F.col(f"_max_{col}")
     if op == "in":
-        # keep the block if ANY candidate value falls inside its range
-        vals = list(value)
+        # keep the block if ANY candidate value falls inside its range.
+        # NULL candidates drop out: `col IN (..., NULL)` can never MATCH a
+        # row under SQL semantics, so they contribute nothing to pruning —
+        # and a NULL literal inside the range check would poison the whole
+        # condition to NULL (the three-valued-logic hazard above)
+        vals = [v for v in value if v is not None]
         if not vals:
-            return F.lit(False) | vmin.isNull()
+            return _nn(F.lit(False) | vmin.isNull())
         if len(vals) > 16:
             # large candidate sets (merge_into key pruning): a flat array
             # literal + EXISTS keeps the expression tree depth O(1) —
@@ -141,13 +155,13 @@ def _block_keep_condition(col: str, op: str, value):
                 F.array(*[F.lit(v) for v in vals]),
                 lambda k: (vmin <= k) & (vmax >= k),
             )
-            return cond | vmin.isNull()
+            return _nn(cond | vmin.isNull())
         conds = [(vmin <= F.lit(v)) & (vmax >= F.lit(v)) for v in vals]
         while len(conds) > 1:
             conds = [a | b for a, b in zip(conds[::2], conds[1::2])] + (
                 [conds[-1]] if len(conds) % 2 else []
             )
-        return conds[0] | vmin.isNull()
+        return _nn(conds[0] | vmin.isNull())
     lit = F.lit(value)
     if op == ">":
         cond = vmax > lit
@@ -162,7 +176,7 @@ def _block_keep_condition(col: str, op: str, value):
         cond = ~((vmin == lit) & (vmax == lit))
     else:  # = / ==
         cond = (vmin <= lit) & (vmax >= lit)
-    return cond | vmin.isNull()
+    return _nn(cond | vmin.isNull())
 
 
 def read_encoded(

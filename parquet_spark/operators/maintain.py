@@ -171,8 +171,7 @@ def delete_where(
             if f"_min_{col}" in blocks.columns else F.lit(True)
         )
         may = c if may is None else (may & c)
-    touched = blocks.where(may)
-    untouched = blocks.where(~may)
+    touched, untouched = _split_blocks(blocks, may)
     rows = decode_table(touched, schema)
     cond = None
     for col, op, value in preds:
@@ -193,6 +192,20 @@ def delete_where(
         "blocks_copied": n_copied,
         "blocks_rewritten": int(stats["blocks"]) - n_copied,
     }
+
+
+def _split_blocks(blocks, may):
+    """Exhaustive touched/untouched split for copy-on-write rewrites.
+    `where(c)` and `where(~c)` BOTH drop NULL-condition rows under
+    three-valued logic — a block falling through the split would silently
+    vanish from the new generation (review finding; _block_keep_condition
+    is itself never-NULL now, this guards the split regardless). NULL
+    coalesces to touched — the decode-and-filter side, which is always
+    semantically safe."""
+    from pyspark.sql import functions as F
+
+    m = F.coalesce(may, F.lit(True))
+    return blocks.where(m), blocks.where(~m)
 
 
 def _commit_cow(
@@ -323,7 +336,7 @@ def merge_into(
             may = may & _block_keep_condition(key_col, "in", keys)
     else:
         may = F.lit(True)  # no stats on the key: every block may hold a match
-    touched, untouched = blocks.where(may), blocks.where(~may)
+    touched, untouched = _split_blocks(blocks, may)
 
     survivors = decode_table(touched, schema).join(
         updates.select(key_col), key_col, "left_anti"

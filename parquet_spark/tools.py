@@ -136,6 +136,13 @@ def cmd_verify(path: str) -> None:
                 for i in range(b.num_rows):
                     for c in bloom_cols:
                         filt = b.column(f"_bloom_{c}")[i].as_py()
+                        if not filt:
+                            # blocks copied byte-for-byte from a pre-bloom
+                            # generation carry a NULL sidecar; the reader
+                            # treats that as "keep" — so does the probe
+                            # (review finding: counting these as false
+                            # negatives flagged healthy tables CORRUPT)
+                            continue
                         arr = blk.decode_array(b.column(c)[i].as_py()).drop_null()
                         for v in arr.to_pylist():
                             checked += 1

@@ -588,3 +588,53 @@ def test_incremental_compaction_converges(spark, tmp_path):
     rep = compact_table(spark, path, block_rows=512, min_fill_ratio=0.95)
     assert not rep["compacted"]
     assert read_snapshot(path)["sequence"] == seq_before  # no new generation
+
+
+def test_merge_into_null_key_among_many_does_not_lose_blocks(spark, tmp_path):
+    """Review finding (reproduced pre-fix: 180/200 rows silently lost):
+    a NULL key among >16 update keys made the stats-pruning condition
+    evaluate NULL under three-valued logic, and blocks falling through
+    the where(c)/where(~c) split vanished from the new generation."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+
+    path = str(tmp_path / "nullkey")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9).alias("v")
+    )
+    write_encoded(df, path, target_partitions=2, block_rows=10,
+                  resume=False, cluster_col="doc_id")
+    keys = [0, 199] + list(range(1000, 1015)) + [None]  # 18 keys, one NULL
+    updates = spark.createDataFrame(
+        [(k, -1) for k in keys], "doc_id long, v long"
+    )
+    rep = merge_into(spark, path, updates, key_col="doc_id")
+    back = read_encoded(spark, path)
+    # 200 originals, 2 updated in place, 15 inserted numeric + 1 NULL-key insert
+    assert back.count() == 200 + 16
+    assert back.where(F.col("doc_id").isin(0, 199)).agg(F.sum("v")).collect()[0][0] == -2
+    assert rep["inserted"] == 16 and rep["updated"] == 2
+    # the NULL key must not degrade pruning either: only the blocks
+    # holding keys 0 and 199 rewrite, the middle blocks copy
+    assert rep["blocks_copied"] > rep["blocks_rewritten"] > 0
+
+
+def test_delete_where_in_with_null_candidate_many_values(spark, tmp_path):
+    """Same three-valued-logic hazard through delete_where's 'in' path
+    with >16 candidates including a NULL: non-matching blocks must be
+    copied, never dropped."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import delete_where
+
+    path = str(tmp_path / "nullin")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9).alias("v")
+    )
+    write_encoded(df, path, target_partitions=2, block_rows=10,
+                  resume=False, cluster_col="doc_id")
+    vals = [0, 1, 199] + list(range(5000, 5014)) + [None]  # 18, one NULL
+    rep = delete_where(spark, path, ("doc_id", "in", vals))
+    assert rep["deleted"] == 3
+    assert read_encoded(spark, path).count() == 197

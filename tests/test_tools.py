@@ -148,3 +148,26 @@ def test_verify_cli_bloom_consistency(spark, tmp_path, capsys):
         cmd_verify(path)
     out = json.loads(capsys.readouterr().out)
     assert out["bloom"]["status"] == "CORRUPT" and out["bloom"]["false_negatives"] > 0
+
+
+def test_verify_cli_tolerates_null_bloom_sidecars(spark, tmp_path, capsys):
+    """Review finding: blocks copied byte-for-byte from a pre-bloom
+    generation carry NULL _bloom_ sidecars; the verify probe must treat
+    them as 'keep' (like the reader), not flag the table CORRUPT."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+    from parquet_spark.tools import cmd_verify
+
+    path = str(tmp_path / "bloomnull")
+    df = spark.range(0, 400).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.col("id") % 7).alias("v"),
+    )
+    write_encoded(df, path, target_partitions=2, block_rows=32, resume=False)
+    ups = spark.createDataFrame([("k3", 99), ("brand-new", 1)], "key string, v long")
+    merge_into(spark, path, ups, key_col="key", bloom_cols=["key"])
+    cmd_verify(path)  # must NOT SystemExit(2)
+    out = capsys.readouterr().out
+    assert '"status": "ok"' in out
