@@ -428,7 +428,12 @@ def compact_table(
     kwarg like bucket_mode/cluster_col) selects the full rewrite
     automatically, since incremental compaction preserves the existing
     partitioning by construction."""
-    if incremental and (target_partitions is not None or encode_kwargs):
+    if incremental and (
+        target_partitions is not None or block_rows is not None or encode_kwargs
+    ):
+        # an explicit block_rows is also plan-affecting: shrinking the
+        # target must re-block the existing full blocks, which the
+        # incremental path would copy unchanged (review finding)
         incremental = False
     snap = read_snapshot(path)
     if snap is None:
@@ -451,7 +456,9 @@ def compact_table(
         if "batch" in blocks.columns:  # flatten batch layout, like delete
             blocks = blocks.drop("batch")
         frag_cond = F.col("n_rows") < int(target * copy_fill_ratio)
-        frag, full = blocks.where(frag_cond), blocks.where(~frag_cond)
+        # exhaustive split (NULL n_rows → repack side, which fails loudly
+        # in decode rather than silently dropping the block)
+        frag, full = _split_blocks(blocks, frag_cond)
         frag_agg = frag.agg(
             F.coalesce(F.sum("n_rows"), F.lit(0)).alias("r"), F.count("*").alias("b")
         ).collect()[0]

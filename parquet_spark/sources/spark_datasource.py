@@ -178,6 +178,12 @@ class EncodedTableReader(DataSourceReader):
             if smin is None or smax is None or not smin.has_min_max or not smax.has_min_max:
                 continue
             lo, hi = smin.min, smax.max  # bounds over the group's blocks
+            if lo != lo or hi != hi:
+                # NaN bound: encode deliberately records vmax=NaN for
+                # NaN-bearing float blocks (Spark orders NaN largest);
+                # every Python comparison with nan is False, which would
+                # read as "prune" — keep instead (review finding)
+                continue
             try:
                 if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
                     return False

@@ -580,14 +580,22 @@ def test_incremental_compaction_converges(spark, tmp_path):
     df = spark.range(0, 1920).select(
         F.col("id").alias("doc_id"), (F.col("id") % 9).alias("v")
     )
-    # 480-row blocks vs target 512: fill 0.9375 — above copy_fill_ratio
-    # (0.9), below a min_fill_ratio of 0.95
-    write_encoded(df, path, target_partitions=1, block_rows=480,
+    # one partition at block_rows=512 → blocks 512,512,512,384: mean fill
+    # 0.9375 (below min_fill_ratio 0.95), only ONE partial tail block
+    # (below copy_fill_ratio) — nothing to merge, the sweep must decline
+    write_encoded(df, path, target_partitions=1, block_rows=512,
                   resume=False, bucket_mode="partition")
     seq_before = read_snapshot(path)["sequence"]
-    rep = compact_table(spark, path, block_rows=512, min_fill_ratio=0.95)
+    rep = compact_table(spark, path, min_fill_ratio=0.95)
     assert not rep["compacted"]
     assert read_snapshot(path)["sequence"] == seq_before  # no new generation
+    # an explicit block_rows change is plan-affecting → full rewrite path
+    # (incremental would copy the 512-row blocks unchanged and never
+    # re-block them to the requested 2048)
+    rep2 = compact_table(spark, path, block_rows=2048, target_partitions=1,
+                         min_fill_ratio=0.95)
+    assert rep2["compacted"] and "blocks_copied" not in rep2
+    assert rep2["after"]["mean_rows_per_block"] > 512  # actually re-blocked
 
 
 def test_merge_into_null_key_among_many_does_not_lose_blocks(spark, tmp_path):

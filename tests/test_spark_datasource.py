@@ -126,3 +126,28 @@ def test_datasource_batch_regex_anchored(spark, tmp_path):
     register(spark)
     old = spark.read.format("parquet_spark").option("as_of", seq1).load(path)
     assert old.count() == 300  # batch=7 in the table path must not zero this
+
+
+def test_datasource_nan_stats_do_not_prune(spark, tmp_path):
+    """Review finding: a block with vmax=NaN (encode records NaN-largest
+    for float blocks holding NaN) writes footer max=nan; Python
+    comparisons with nan are all False, which read as 'prune'. The NaN
+    bound must mean KEEP — results equal read_encoded."""
+    import math
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+
+    path = str(tmp_path / "nan_t")
+    rows = [(i, float(i)) for i in range(100)] + [(100, float("nan")), (101, 500.0)]
+    df = spark.createDataFrame(rows, "doc_id long, x double").repartition(1)
+    write_encoded(df, path, target_partitions=1, block_rows=16,
+                  resume=False, bucket_mode="partition", cluster_col="doc_id")
+    register(spark)
+    ds = spark.read.format("parquet_spark").load(path)
+    for cond in (F.col("x") > 100.0, F.col("x") == 500.0):
+        got = ds.where(cond).count()
+        want = read_encoded(spark, path).where(cond).count()
+        assert got == want, (str(cond), got, want)
+    # NaN rows themselves survive a > filter under Spark NaN-largest order
+    assert ds.where(F.col("x") > 1000.0).count() == 1

@@ -269,7 +269,8 @@ def main() -> None:
                 # overwriting an accumulated multi-session record
                 base = os.path.join(
                     ROOT,
-                    f"BENCH_SCALING_{prev.get('rows')}_{prev.get('code_rev')}",
+                    f"BENCH_SCALING_{prev.get('rows') or 'unknown'}_"
+                    f"{prev.get('code_rev') or 'unknown'}",
                 )
                 arch, n = f"{base}.json", 1
                 while os.path.exists(arch):  # never clobber an archive
