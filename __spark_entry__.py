@@ -23,12 +23,52 @@ from pyspark.sql.types import StructType
 
 
 def _roundtrip(df: DataFrame, codecs: dict | None = None) -> DataFrame:
-    """encode→decode a DataFrame fully in-memory through the engine."""
+    """encode→decode a DataFrame fully in-memory through the engine.
+
+    Scale-adaptive parallelism (r6, guide §2): when the scan yields fewer
+    partitions than cores — which only happens when the input is small,
+    since Spark splits files at maxPartitionBytes — a repartition to the
+    core count spreads the encode kernels across every core for the price
+    of shuffling that small input once. Large inputs already arrive with
+    >= core-count partitions and take no shuffle. Row values are
+    unchanged either way (the oracle compares canonicalized rows)."""
     from parquet_spark.operators.decode import decode_table
     from parquet_spark.operators.encode import encode_table
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     blocks = encode_table(df, codecs=codecs)
     return decode_table(blocks, df.schema)
+
+
+def _roundtrip_proj(spark: SparkSession, sf_dir: str, table: str, columns: list[str], codecs: dict | None = None) -> DataFrame:
+    """Pure-projection roundtrip (no computed columns) with an
+    Arrow-native scan for large inputs (r6, guide §4.1/§8.4): above
+    MIN_FUSED_ROWS the JVM→Python row transpose of the Spark scan feed
+    dominates the leg (measured: identity mapInArrow 2.5 s vs 0.27 s scan
+    on 6M-row lineitem), so the encode reads its row-group slice with
+    pyarrow inside the task instead — same encode kernels, same decoded
+    rows (oracle-checked), 2.83 s → 1.51 s measured on the auto roundtrip.
+    Small inputs keep the plain path (split planning would cost more than
+    the feed)."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = _t(spark, sf_dir, table).select(*columns)
+    try:
+        from parquet_spark.sources.arrow_scan import (
+            MIN_FUSED_ROWS,
+            encode_parquet_arrow,
+            estimate_rows,
+        )
+
+        if estimate_rows(path) >= MIN_FUSED_ROWS:
+            from parquet_spark.operators.decode import decode_table
+
+            blocks = encode_parquet_arrow(spark, path, list(columns), codecs=codecs)
+            return decode_table(blocks, df.schema)
+    except (OSError, ValueError):
+        pass  # non-local or unreadable input: use the Spark scan
+    return _roundtrip(df, codecs=codecs)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,18 +110,23 @@ def _q_roundtrip_codecs_forced(spark, sf_dir):
     encodings E1-E15), so one oracle row certifies all four kernels.
     Consolidates the former roundtrip_dict_strings / roundtrip_rle_ints /
     roundtrip_forbp_ints / roundtrip_plain_floats queries (r1-r4 green)."""
-    df = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    return _roundtrip_proj(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice", "l_returnflag"],
+        codecs={
+            "l_orderkey": "rle", "l_partkey": "for_bp", "l_linenumber": "rle",
+            "l_extendedprice": "plain", "l_returnflag": "dict",
+        },
     )
-    return _roundtrip(df, codecs={
-        "l_orderkey": "rle", "l_partkey": "for_bp", "l_linenumber": "rle",
-        "l_extendedprice": "plain", "l_returnflag": "dict",
-    })
 
 
 def _q_roundtrip_delta_sorted(spark, sf_dir):
-    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    return _roundtrip(df, codecs={"o_orderkey": "delta_bp"})
+    # the fused path preserves file order within each split, which is what
+    # keeps the o_orderkey deltas narrow (a repartition would widen them)
+    return _roundtrip_proj(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+        codecs={"o_orderkey": "delta_bp"},
+    )
 
 
 def _q_roundtrip_fsst_text(spark, sf_dir):
@@ -119,10 +164,10 @@ def _q_roundtrip_alp_decimal_floats(spark, sf_dir):
     """Price-like doubles (2 decimals) auto-select the ALP codec: exact
     10^e mantissas + int codec; the oracle is the identity, proving the
     rescale is bit-lossless."""
-    df = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    return _roundtrip_proj(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
     )
-    return _roundtrip(df)
 
 
 def _q_roundtrip_optional_nulls(spark, sf_dir):
@@ -145,10 +190,10 @@ def _q_roundtrip_temporal_bool(spark, sf_dir):
 
 def _q_roundtrip_auto_all(spark, sf_dir):
     """Auto-chooser across a mixed-type projection — no overrides."""
-    df = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    return _roundtrip_proj(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"],
     )
-    return _roundtrip(df)
 
 
 def _q_roundtrip_nested_struct(spark, sf_dir):

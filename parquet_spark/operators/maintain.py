@@ -309,54 +309,75 @@ def merge_into(
         raise FileNotFoundError(f"no snapshot.json under {path}")
     if key_col not in updates.columns:
         raise KeyError(f"key column {key_col!r} not in updates")
-    dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
-    if dup:
-        raise ValueError(f"updates carry duplicate {key_col!r} keys — resolve before merging")
     schema = StructType.fromJson(snap["schema"])
     table_cols = [f.name for f in schema.fields]
     missing = [c for c in table_cols if c not in updates.columns]
     if missing:
         raise KeyError(f"updates missing table column(s) {missing}")
-    n_before, n_updates = _table_rows(spark, path, snap), updates.count()
-
-    blocks = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(path, snap.get("data_dir", "data"))
-    )
-    if "batch" in blocks.columns:  # flatten batch layout, as delete_where does
-        blocks = blocks.drop("batch")
-    if f"_min_{key_col}" in blocks.columns:
-        lo, hi = updates.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).collect()[0]
-        may = _block_keep_condition(key_col, ">=", lo) & _block_keep_condition(
-            key_col, "<=", hi
+    # `updates` is consumed several times (metadata agg, optional keys
+    # collect, anti-join, union into the rewrite) — an expensive derived
+    # frame would otherwise recompute on every pass (r5 review nit #3).
+    # Persist once; released after the commit.
+    updates = updates.persist()
+    try:
+        n_before = _table_rows(spark, path, snap)
+        # ONE metadata job instead of three (dup-check, count, min/max):
+        # per-key counts then a single fused aggregate
+        meta = (
+            updates.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("c").alias("n"),
+                F.max("c").alias("maxc"),
+                F.min(key_col).alias("lo"),
+                F.max(key_col).alias("hi"),
+            )
+            .collect()[0]
         )
-        if n_updates <= 1000:
-            keys = [r[0] for r in updates.select(key_col).collect()]
-            may = may & _block_keep_condition(key_col, "in", keys)
-    else:
-        may = F.lit(True)  # no stats on the key: every block may hold a match
-    touched, untouched = _split_blocks(blocks, may)
+        if meta["maxc"] is not None and int(meta["maxc"]) > 1:
+            raise ValueError(
+                f"updates carry duplicate {key_col!r} keys — resolve before merging"
+            )
+        n_updates = int(meta["n"] or 0)
 
-    survivors = decode_table(touched, schema).join(
-        updates.select(key_col), key_col, "left_anti"
-    )
-    merged = survivors.select(*table_cols).unionByName(
-        updates, allowMissingColumns=True
-    )
-    out_schema_json = merged.schema.json()  # additive update columns evolve in
-    bloom_override = encode_kwargs.pop("bloom_cols", None)
-    rows_override = encode_kwargs.pop("block_rows", None)
-    if encode_kwargs:
-        raise TypeError(
-            f"merge_into supports bloom_cols/block_rows overrides only, "
-            f"got {sorted(encode_kwargs)}"
+        blocks = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, snap.get("data_dir", "data"))
         )
-    stats, n_copied = _commit_cow(
-        spark, path, snap, out_schema_json, list(merged.columns),
-        untouched, merged, "merge",
-        bloom_cols=bloom_override, block_rows=rows_override,
-    )
+        if "batch" in blocks.columns:  # flatten batch layout, as delete_where does
+            blocks = blocks.drop("batch")
+        if f"_min_{key_col}" in blocks.columns:
+            lo, hi = meta["lo"], meta["hi"]
+            may = _block_keep_condition(key_col, ">=", lo) & _block_keep_condition(
+                key_col, "<=", hi
+            )
+            if n_updates <= 1000:
+                keys = [r[0] for r in updates.select(key_col).collect()]
+                may = may & _block_keep_condition(key_col, "in", keys)
+        else:
+            may = F.lit(True)  # no stats on the key: every block may hold a match
+        touched, untouched = _split_blocks(blocks, may)
+
+        survivors = decode_table(touched, schema).join(
+            updates.select(key_col), key_col, "left_anti"
+        )
+        merged = survivors.select(*table_cols).unionByName(
+            updates, allowMissingColumns=True
+        )
+        out_schema_json = merged.schema.json()  # additive update columns evolve in
+        bloom_override = encode_kwargs.pop("bloom_cols", None)
+        rows_override = encode_kwargs.pop("block_rows", None)
+        if encode_kwargs:
+            raise TypeError(
+                f"merge_into supports bloom_cols/block_rows overrides only, "
+                f"got {sorted(encode_kwargs)}"
+            )
+        stats, n_copied = _commit_cow(
+            spark, path, snap, out_schema_json, list(merged.columns),
+            untouched, merged, "merge",
+            bloom_cols=bloom_override, block_rows=rows_override,
+        )
+    finally:
+        updates.unpersist()
     total = int(stats["rows"])
     inserted = total - n_before
     return {

@@ -340,11 +340,23 @@ def knn_ivf(
     centers = model.clusterCenters()
     planes = np.stack(centers)  # (n_lists, dim)
 
+    planes_sq = (planes**2).sum(axis=1)  # ‖c‖² per centroid, once
+
     @F.pandas_udf("array<int>")
     def probe_udf(vecs: pd.Series) -> pd.Series:
+        # ‖q−c‖² = ‖q‖² + ‖c‖² − 2 q·c; the per-query ‖q‖² term is
+        # constant within a row, so argsort needs only ‖c‖² − 2 q·cᵀ —
+        # a (chunk × n_lists) matmul instead of the full
+        # (batch × n_lists × dim) difference cube (r6 fix of the r5
+        # review nit: with √n lists at 10⁹ vectors the cube is tens of
+        # GB per batch; the matmul form is bounded by the chunk size)
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((m[:, None, :] - planes[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        outs = []
+        for lo in range(0, len(m), 4096):
+            chunk = m[lo : lo + 4096]
+            d = planes_sq[None, :] - 2.0 * (chunk @ planes.T)
+            outs.append(np.argsort(d, axis=1)[:, :nprobe].astype(np.int32))
+        order = np.concatenate(outs) if outs else np.zeros((0, nprobe), np.int32)
         return pd.Series(list(order))
 
     q = df.filter(F.col(id_col) < n_queries).select(
