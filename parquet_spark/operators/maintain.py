@@ -219,11 +219,18 @@ def _commit_cow(
     fingerprint_prefix: str,
     bloom_cols: list | None = None,
     block_rows: int | None = None,
+    keep_fingerprint: bool = False,
 ) -> tuple:
     """Shared copy-on-write commit for delete_where/merge_into: encode the
     rewritten rows, union with the byte-identical untouched blocks into a
     FRESH generation, publish its manifest, then swap the snapshot pointer
-    atomically. Returns (written-generation stats row, blocks copied)."""
+    atomically. Returns (written-generation stats row, blocks copied).
+
+    `keep_fingerprint` preserves the prior snapshot's fingerprint —
+    correct for commits that do not change logical content (compaction),
+    so a later write_encoded(resume=True) of the same source still
+    recognizes the table; content-changing commits (delete/merge) must
+    NOT keep it, or such a resume would append duplicate rows."""
     from pyspark.sql import functions as F
 
     from parquet_spark.operators.encode import (
@@ -250,11 +257,12 @@ def _commit_cow(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"), F.count("*").alias("blocks")
     ).collect()[0]
     n_copied = int(untouched.count())
+    fp = snap.get("fingerprint") if keep_fingerprint and snap.get("fingerprint") else f"{fingerprint_prefix}-{gen}"
     write_snapshot(
         path,
         schema_json,
         columns,
-        f"{fingerprint_prefix}-{gen}",
+        fp,
         {"block_rows": block_rows, "data_dir": data_dirname,
          "manifest_dir": manifest_dirname, "bloom_cols": bloom_cols},
     )
@@ -495,9 +503,12 @@ def compact_table(
         # blocks regardless of how many tiny source files the tail spans
         n_parts = max(1, frag_rows // (target * 8))
         rows = rows.repartition(n_parts)
+        # preserve the source fingerprint, matching the full-rewrite path:
+        # compaction changes layout, not content, so resume semantics must
+        # not depend on which compaction form ran (r5 ADVICE finding)
         stats, n_copied = _commit_cow(
             spark, path, snap, schema.json(), [f.name for f in schema.fields],
-            full, rows, "compact", block_rows=target,
+            full, rows, "compact", block_rows=target, keep_fingerprint=True,
         )
         new_snap = read_snapshot(path)
         _sweep_orphan_generations(path, new_snap)

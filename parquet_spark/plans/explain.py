@@ -139,6 +139,17 @@ def explain_partitioning(df: DataFrame, target_partitions: int | None = None) ->
     par = spark.sparkContext.defaultParallelism
     tp = target_partitions or max(par * 2, 8)
     npart = df.rdd.getNumPartitions()
+    from parquet_spark.sources import arrow_scan
+
+    files = arrow_scan.bare_parquet_files(df)
+    if files is not None and arrow_scan.estimate_rows_files(files) >= arrow_scan.MIN_FUSED_ROWS:
+        splits, _plan = arrow_scan.plan_encode_splits(files, par)
+        if len(splits) >= max(2, min(tp, par) // 2):
+            return (
+                f"arrow fused scan+encode: bare local parquet relation, "
+                f"{len(splits)} row-group/range splits read with pyarrow in-task "
+                f"(no JVM row feed, no shuffle)"
+            )
     if npart < max(2, min(tp, par) // 2):
         return (
             f"salted shuffle: {npart} input partition(s) underuse "

@@ -64,20 +64,79 @@ def estimate_rows(path: str) -> int:
     """Total row count from footer metadata (driver-side; one footer read
     per file, intended for the small-file-count regime where the caller
     is choosing between the fused and plain scan paths)."""
+    return estimate_rows_files(_list_parquet_files(path))
+
+
+def estimate_rows_files(files: list[str], max_footers: int = 64) -> int:
+    """Row-count estimate with bounded driver IO: exact when the file
+    count is small, first-file-rows x file-count beyond that (row counts
+    per part file are near-uniform for any sanely written table, and the
+    estimate only gates a threshold choice)."""
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in _list_parquet_files(path))
+    if not files:
+        return 0
+    if len(files) <= max_footers:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return pq.ParquetFile(files[0]).metadata.num_rows * len(files)
+
+
+def bare_parquet_files(df: DataFrame) -> list[str] | None:
+    """Local parquet files of a DataFrame whose optimized plan is a BARE
+    file relation — no projection, filter, or computed column — i.e. the
+    only shape the fused Arrow feed reproduces exactly (anything Catalyst
+    computes must keep the Spark scan). None when the shape or storage
+    doesn't qualify; the caller falls back to the JVM feed."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    if len(lines) != 1:
+        return None
+    node = lines[0].lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+    if node != "Relation" or " parquet" not in lines[0]:
+        return None
+    files = df.inputFiles()
+    if not files or not all(f.startswith("file:") for f in files):
+        return None
+    out = sorted(f[len("file:") :] for f in files)
+    return out if all(os.path.exists(f) for f in out) else None
+
+
+def plan_encode_splits(
+    files: list[str], parallelism: int, block_rows: int = DEFAULT_BLOCK_ROWS
+) -> tuple[list[tuple[int, str, int, int, int]], dict]:
+    """Bucketed splits for the write path: [(bucket, file, rg, lo, hi)]
+    plus the plan-identity dict the snapshot records. A resume recomputes
+    this plan and compares for equality — any drift (file set, core
+    count, block size) invalidates recorded bucket ids and forces a full
+    re-encode, exactly like partition-mode conf drift."""
+    raw = _plan_splits_for_files(files, parallelism, block_rows)
+    splits = [(i, f, rg, lo, hi) for i, (f, rg, lo, hi) in enumerate(raw)]
+    plan = {
+        "mode": "arrow",
+        "n_splits": len(splits),
+        "parallelism": int(parallelism),
+        "block_rows": int(block_rows),
+        "n_files": len(files),
+    }
+    return splits, plan
 
 
 def plan_arrow_splits(path: str, parallelism: int, block_rows: int = DEFAULT_BLOCK_ROWS) -> list[tuple[str, int, int, int]]:
     """(file, row_group, lo, hi) splits. row_group == -1 means the whole
     file (many-files regime: the driver read no footer, the task will).
     lo/hi are row offsets within the row group; hi == -1 means to the end."""
-    import pyarrow.parquet as pq
-
     files = _list_parquet_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
+    return _plan_splits_for_files(files, parallelism, block_rows)
+
+
+def _plan_splits_for_files(files: list[str], parallelism: int, block_rows: int) -> list[tuple[str, int, int, int]]:
+    import pyarrow.parquet as pq
+
     if len(files) >= parallelism:
         return [(f, -1, 0, -1) for f in files]
     splits: list[tuple[str, int, int, int]] = []
@@ -102,6 +161,27 @@ def plan_arrow_splits(path: str, parallelism: int, block_rows: int = DEFAULT_BLO
     return splits
 
 
+def _read_split(path: str, rg: int, lo: int, hi: int, cols: list[str], batch_rows: int):
+    """Yield Arrow batches for rows [lo, hi) of one row group (rg == -1:
+    the whole file; hi == -1: to the end). Stops decoding at hi, so a
+    sub-split pays at most the partial decode of its leading rows."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    rgs = None if rg < 0 else [rg]
+    end = float("inf") if hi < 0 else hi
+    off = 0
+    for batch in pf.iter_batches(batch_size=batch_rows, row_groups=rgs, columns=cols):
+        n = batch.num_rows
+        if off + n > lo and off < end:
+            s = max(lo - off, 0)
+            e = min(end - off, n)
+            yield batch.slice(s, int(e - s))
+        off += n
+        if off >= end:
+            break
+
+
 def encode_parquet_arrow(
     spark: SparkSession,
     path: str,
@@ -121,31 +201,17 @@ def encode_parquet_arrow(
     enc = _encode_fn(cols, block_rows, codecs, compression, has_bucket=False)
 
     def gen(batches):
-        import pyarrow.parquet as pq
-
         def feed():
             for b in batches:
                 for row in range(b.num_rows):
-                    p = b.column("path")[row].as_py()
-                    rg = b.column("rg")[row].as_py()
-                    lo = b.column("lo")[row].as_py()
-                    hi = b.column("hi")[row].as_py()
-                    pf = pq.ParquetFile(p)
-                    rgs = None if rg < 0 else [rg]
-                    if hi < 0:
-                        hi = float("inf")
-                    off = 0
-                    for batch in pf.iter_batches(
-                        batch_size=block_rows, row_groups=rgs, columns=cols
-                    ):
-                        n = batch.num_rows
-                        if off + n > lo and off < hi:
-                            s = max(lo - off, 0)
-                            e = min(hi - off, n)
-                            yield batch.slice(s, int(e - s))
-                        off += n
-                        if off >= hi:
-                            break
+                    yield from _read_split(
+                        b.column("path")[row].as_py(),
+                        b.column("rg")[row].as_py(),
+                        b.column("lo")[row].as_py(),
+                        b.column("hi")[row].as_py(),
+                        cols,
+                        block_rows,
+                    )
 
         yield from enc(feed())
 
@@ -153,4 +219,56 @@ def encode_parquet_arrow(
         "part_id int, block_id long, bucket int, n_rows int, meta string, "
         + ", ".join(f"`{c}` binary" for c in cols)
     )
+    return sdf.mapInArrow(gen, out_ddl)
+
+
+def encode_splits_arrow(
+    spark: SparkSession,
+    splits: list[tuple[int, str, int, int, int]],
+    columns: list[str],
+    out_ddl: str,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    codecs: dict | None = None,
+    compression: str | None = None,
+    stats_cols: list[str] | None = None,
+    manifest_dir: str | None = None,
+    bloom_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write-path fused scan+encode over pre-planned bucketed splits
+    [(bucket, file, rg, lo, hi)]: each task reads its slice with pyarrow,
+    tags the rows with the split's bucket id, and runs the standard
+    encode kernels — stats columns and side-band manifest included, so
+    the blocks relation is exactly what `encode_table` would produce for
+    write_encoded's partition mode, minus the JVM row feed."""
+    rdd = spark.sparkContext.parallelize(splits, max(len(splits), 1))
+    sdf = spark.createDataFrame(rdd, "bucket int, path string, rg int, lo long, hi long")
+    cols = list(columns)
+    enc = _encode_fn(
+        cols, block_rows, codecs, compression, has_bucket=True,
+        stats_cols=stats_cols, manifest_dir=manifest_dir, bloom_cols=bloom_cols,
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from parquet_spark.operators.encode import BUCKET_COL
+
+        def feed():
+            for b in batches:
+                for row in range(b.num_rows):
+                    sid = b.column("bucket")[row].as_py()
+                    for batch in _read_split(
+                        b.column("path")[row].as_py(),
+                        b.column("rg")[row].as_py(),
+                        b.column("lo")[row].as_py(),
+                        b.column("hi")[row].as_py(),
+                        cols,
+                        block_rows,
+                    ):
+                        yield batch.append_column(
+                            BUCKET_COL, pa.array([sid] * batch.num_rows, pa.int32())
+                        )
+
+        yield from enc(feed())
+
     return sdf.mapInArrow(gen, out_ddl)

@@ -230,13 +230,15 @@ class EncodedTableReader(DataSourceReader):
             if c not in have:  # additive schema evolution: null payloads
                 tbl = tbl.append_column(c, pa.nulls(n, pa.binary()))
         expected = {f.name: to_arrow_type(f.dataType) for f in self.schema.fields}
-        for batch in tbl.to_batches():
-            for out in _decode_fn(columns, self.schema, self.verify)([batch]):
-                arrays = [
-                    a if a.type == expected[c] else a.cast(expected[c])
-                    for c, a in zip(columns, out.columns)
-                ]
-                yield pa.RecordBatch.from_arrays(arrays, names=columns)
+        # one decode closure per partition, streamed over every batch of
+        # the row group (was rebuilt per batch — r5 review nit)
+        decode = _decode_fn(columns, self.schema, self.verify)
+        for out in decode(tbl.to_batches()):
+            arrays = [
+                a if a.type == expected[c] else a.cast(expected[c])
+                for c, a in zip(columns, out.columns)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=columns)
 
 
 def register(spark) -> None:

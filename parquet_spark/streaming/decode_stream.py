@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+from pyspark.sql.utils import AnalysisException
 
 from parquet_spark.operators.decode import decode_table
 from parquet_spark.operators.encode import read_snapshot
@@ -63,9 +64,34 @@ def read_encoded_stream(
     data_dir = os.path.join(path, snap.get("data_dir", "data"))
     # one-time static prepass: the on-disk blocks schema (union across
     # batches — mergeSchema — so evolved columns exist in the stream)
-    blocks_schema = (
-        spark.read.option("mergeSchema", "true").parquet(data_dir).schema
-    )
+    try:
+        blocks_schema = (
+            spark.read.option("mergeSchema", "true").parquet(data_dir).schema
+        )
+    except AnalysisException:
+        # fresh table: a snapshot exists but no batch has committed files
+        # yet — derive the blocks schema from the snapshot so a consumer
+        # can start tailing before the first batch lands (r5 ADVICE
+        # finding). Payload columns are binary; stats sidecars appear in
+        # later files and merge in via mergeSchema on restart.
+        from pyspark.sql.types import (
+            BinaryType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+        )
+
+        blocks_schema = StructType(
+            [
+                StructField("part_id", IntegerType()),
+                StructField("block_id", LongType()),
+                StructField("bucket", IntegerType()),
+                StructField("n_rows", IntegerType()),
+                StructField("meta", StringType()),
+            ]
+            + [StructField(f.name, BinaryType()) for f in schema.fields]
+        )
     reader = spark.readStream.schema(blocks_schema).option("basePath", data_dir)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))

@@ -86,3 +86,60 @@ def test_plan_splits_many_files_no_footer_reads(tmp_path):
 def test_plan_splits_missing_path():
     with pytest.raises(FileNotFoundError):
         plan_arrow_splits("/nonexistent/nowhere", parallelism=4)
+
+
+# ---------------------------------------------------------- write path (r6)
+
+def _crc_seq(df):
+    return df.agg(
+        F.sum(F.crc32(F.concat_ws(",", "doc_id", F.col("tokens").cast("string")))).alias("c")
+    ).collect()[0]["c"]
+
+
+def test_write_encoded_arrow_mode_roundtrip(spark, tmp_path, monkeypatch):
+    """auto on a bare local parquet scan above the row threshold selects
+    the Arrow feed; the table it writes is bit-identical on decode and
+    fully resumable. (Threshold lowered so the small fixture qualifies.)"""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import read_snapshot, write_encoded
+    from parquet_spark.sources import arrow_scan
+    from parquet_spark.sources.synth import write_sequences
+
+    monkeypatch.setattr(arrow_scan, "MIN_FUSED_ROWS", 100)
+    inp = str(tmp_path / "seq")
+    write_sequences(spark, inp, 3000, seed=11, n_partitions=4, mean_tokens=48)
+    df = spark.read.parquet(inp)
+    path = str(tmp_path / "tbl")
+    r = write_encoded(df, path, target_partitions=4, resume=False, block_rows=512)
+    snap = read_snapshot(path)
+    assert snap["bucket_mode"] == "arrow"
+    assert r["buckets_total"] == snap["n_buckets"]
+    assert _crc_seq(read_encoded(spark, path)) == _crc_seq(df)
+    # stats sidecar columns present for pruned reads
+    data = spark.read.parquet(path + "/data")
+    assert "_min_n_tok" in data.columns and "_max_n_tok" in data.columns
+    # resume: same plan -> everything skipped
+    r2 = write_encoded(df, path, target_partitions=4, resume=True, block_rows=512)
+    assert r2["buckets_skipped"] == r2["buckets_total"] == r["buckets_total"]
+    assert _crc_seq(read_encoded(spark, path)) == _crc_seq(df)
+
+
+def test_write_encoded_arrow_resume_plan_drift_reencodes(spark, tmp_path, monkeypatch):
+    """A resume whose recomputed split plan differs from the recorded one
+    (here: different block_rows) must re-encode rather than trust stale
+    bucket ids."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources import arrow_scan
+    from parquet_spark.sources.synth import write_sequences
+
+    monkeypatch.setattr(arrow_scan, "MIN_FUSED_ROWS", 100)
+    inp = str(tmp_path / "seq")
+    write_sequences(spark, inp, 2000, seed=12, n_partitions=4, mean_tokens=48)
+    df = spark.read.parquet(inp)
+    path = str(tmp_path / "tbl")
+    write_encoded(df, path, target_partitions=4, fingerprint="ar1", resume=False, block_rows=512)
+    s = write_encoded(df, path, target_partitions=4, fingerprint="ar1", resume=True, block_rows=256)
+    assert s["buckets_skipped"] == 0  # plan drift -> full re-encode
+    assert _crc_seq(read_encoded(spark, path)) == _crc_seq(df)
+    assert read_encoded(spark, path).count() == df.count()

@@ -646,3 +646,62 @@ def test_delete_where_in_with_null_candidate_many_values(spark, tmp_path):
     rep = delete_where(spark, path, ("doc_id", "in", vals))
     assert rep["deleted"] == 3
     assert read_encoded(spark, path).count() == 197
+
+
+def test_incremental_compaction_preserves_fingerprint(spark, tmp_path):
+    """Both compaction forms must leave the SAME resume semantics: the
+    snapshot keeps the source fingerprint, so a later
+    write_encoded(resume=True) of the same source recognizes the table
+    (r5 ADVICE finding: incremental committed 'compact-<gen>' while the
+    full rewrite preserved the fingerprint)."""
+    from parquet_spark.operators.encode import append_encoded, read_snapshot
+    from parquet_spark.operators.maintain import compact_table
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "inc_fp")
+    big = sequences_df(spark, 3000, seed=61, n_partitions=2)
+    append_encoded(big, path, target_partitions=2, block_rows=512)
+    for i in range(3):
+        append_encoded(sequences_df(spark, 50, seed=70 + i, n_partitions=1), path, target_partitions=1, block_rows=512)
+    fp_before = read_snapshot(path)["fingerprint"]
+    rep = compact_table(spark, path, min_fill_ratio=0.95)
+    assert rep["compacted"] and "blocks_copied" in rep  # incremental path ran
+    assert read_snapshot(path)["fingerprint"] == fp_before
+
+
+def test_merge_into_single_pass_over_updates(spark, tmp_path):
+    """The metadata prechecks (dup-check, count, min/max) fused into ONE
+    job over a PERSISTED updates frame (r5 VERDICT nit #3): an expensive
+    derived updates DataFrame must evaluate its rows once for the
+    metadata, not once per precheck. The accumulator counts every row
+    evaluation of the updates plan across all merge-internal jobs."""
+    from pyspark.sql import functions as F
+
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.operators.maintain import merge_into
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "merge_once")
+    df = sequences_df(spark, 1200, seed=81, n_partitions=2).select("doc_id", "n_tok", "source")
+    write_encoded(df, path, target_partitions=2, resume=False, weight_col=None)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("int")
+    def counted(v):
+        acc.add(1)
+        return v
+
+    updates = (
+        df.where(F.col("n_tok") % 3 == 0)
+        .select("doc_id", counted(F.col("n_tok")).alias("n_tok"), "source")
+    )
+    n_updates = updates.count()
+    acc.value = 0
+    merge_into(spark, path, updates, key_col="doc_id")
+    # persisted: one materialization (cache fill) + nothing else; without
+    # the persist this reads ~4x n_updates (dup check, count, min/max agg,
+    # keys collect) plus the rewrite passes
+    assert acc.value <= 2 * n_updates, f"updates evaluated {acc.value / n_updates:.1f}x"
+    assert read_encoded(spark, path).count() == df.count()

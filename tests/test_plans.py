@@ -81,7 +81,8 @@ def test_explain_partitioning_modes(spark, tmp_path):
     write_sequences(spark, p, 2000, seed=2, n_partitions=4)
     scan = spark.read.parquet(p)
     line = explain_partitioning(scan, target_partitions=4)
-    assert "zero-shuffle" in line or "probe" in line  # never the underuse branch
+    # bare scan now predicts the Arrow fused feed (r6); never underuse
+    assert "arrow" in line or "zero-shuffle" in line or "probe" in line
     assert "salted shuffle" in explain_partitioning(scan.coalesce(1), target_partitions=64)
     # a generated (non-scan) df can't be statically analyzed -> probe
     gen = sequences_df(spark, 1000, seed=3, n_partitions=8)

@@ -242,7 +242,9 @@ def test_block_bucket_contiguity_guard():
 
 def test_bucket_mode_auto_balanced_goes_zero_shuffle(spark, seq_path, tmp_path):
     """Balanced input partitions → auto picks partition mode: no shuffle,
-    bucket = input partition id, snapshot records the mode."""
+    bucket = input partition id, snapshot records the mode. (The r6 Arrow
+    feed engages only above its row threshold — tests/test_arrow_scan.py
+    covers that path with the threshold lowered.)"""
     from parquet_spark.operators.encode import read_snapshot
     from pyspark.sql import functions as F
 

@@ -309,3 +309,26 @@ def test_stream_source_projection_and_missing_snapshot(spark, workdir, tmp_path)
     q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == 1500 and set(got.columns) == {"doc_id", "n_tok"}
+
+
+def test_stream_source_fresh_table_before_first_batch(spark, tmp_path):
+    """A snapshot with no committed data files yet must still open as a
+    stream source (fresh/empty table bootstrap — r5 ADVICE finding): the
+    blocks schema derives from the snapshot instead of a parquet
+    inference over an empty dir."""
+    import os
+
+    from parquet_spark.operators.encode import write_snapshot
+    from parquet_spark.streaming.decode_stream import read_encoded_stream
+
+    path = str(tmp_path / "fresh")
+    os.makedirs(os.path.join(path, "data"))
+    schema_json = (
+        '{"type":"struct","fields":['
+        '{"name":"doc_id","type":"string","nullable":true,"metadata":{}},'
+        '{"name":"n_tok","type":"integer","nullable":true,"metadata":{}}]}'
+    )
+    write_snapshot(path, schema_json, ["doc_id", "n_tok"], "fp-fresh")
+    stream = read_encoded_stream(spark, path)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == ["doc_id", "n_tok"]
