@@ -30,14 +30,28 @@ def _roundtrip(df: DataFrame, codecs: dict | None = None) -> DataFrame:
     since Spark splits files at maxPartitionBytes — a repartition to the
     core count spreads the encode kernels across every core for the price
     of shuffling that small input once. Large inputs already arrive with
-    >= core-count partitions and take no shuffle. Row values are
-    unchanged either way (the oracle compares canonicalized rows)."""
+    >= core-count partitions and take no shuffle, and inputs so small
+    that a per-core share would be under ~128 KB skip the shuffle too
+    (measured: repartitioning a 600 KB table cost more than the serial
+    encode it parallelized). Row values are unchanged either way (the
+    oracle compares canonicalized rows)."""
+    import os as _os
+
     from parquet_spark.operators.decode import decode_table
     from parquet_spark.operators.encode import encode_table
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+        try:
+            sz = sum(
+                _os.path.getsize(f[len("file:"):])
+                for f in df.inputFiles()
+                if f.startswith("file:")
+            )
+        except OSError:
+            sz = 0
+        if sz >= par * (128 << 10):
+            df = df.repartition(par)
     blocks = encode_table(df, codecs=codecs)
     return decode_table(blocks, df.schema)
 
