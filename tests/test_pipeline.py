@@ -619,3 +619,21 @@ def test_media_decoder_hook():
         mm.register_media_decoder("raw", lambda p: p)
     with pytest.raises(TypeError):
         mm.register_media_decoder("png", 42)
+
+
+def test_knn_ivf_probe_memory_bounded(emb):
+    """The probe distance uses the matmul expansion in bounded chunks
+    (r5 VERDICT nit #4): with a large n_lists the old
+    (batch x n_lists x dim) float64 difference cube would allocate
+    batch*n_lists*dim*8 bytes per pandas batch; the chunked
+    ||c||^2 - 2 q.c form is bounded by (4096 x n_lists). Recall must
+    hold at high list counts too."""
+    from parquet_spark.pipeline import similarity
+
+    exact = similarity.knn_bruteforce(emb, k=5, n_queries=10).toPandas()
+    # n_lists far above sqrt(n) for this corpus: many near-empty lists,
+    # the shape where the cube was most disproportionate
+    approx = similarity.knn_ivf(emb, k=5, n_queries=10, nprobe=16, n_lists=64).toPandas()
+    e = {(r.q_id, r.n_id) for r in exact.itertuples()}
+    a = {(r.q_id, r.n_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.5
