@@ -45,11 +45,13 @@ from parquet_spark.operators.encode import DEFAULT_BLOCK_ROWS, _encode_fn
 # per-task footer reads; callers should use the plain encode_table path.
 # Measured break points (interleaved minima, local[32]): a 600k-row flat
 # lineitem roundtrip reads 0.48 s fused vs 0.73 s through the Spark feed,
-# while the 300k-row sequences table (nested token arrays — pyarrow's
-# list decode costs more than the transpose saves) reads 0.94 s fused vs
-# 0.80 s through the feed. 500k separates the measured cases; the
-# quantity that actually costs is rows through the per-row transpose.
-MIN_FUSED_ROWS = 500_000
+# and after the Range+broadcast split distribution removed the extra
+# Python hop, even the 300k-row sequences table (nested token arrays)
+# writes faster fused (0.58 s vs 0.67 s, paired median 1.12x). Below
+# ~200k rows the work per task is too small for the split machinery to
+# matter either way; the quantity that actually costs is rows through
+# the per-row transpose.
+MIN_FUSED_ROWS = 200_000
 
 
 def _list_parquet_files(path: str) -> list[str]:
