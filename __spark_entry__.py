@@ -34,11 +34,16 @@ def _roundtrip(df: DataFrame, codecs: dict | None = None) -> DataFrame:
     that a per-core share would be under ~128 KB skip the shuffle too
     (measured: repartitioning a 600 KB table cost more than the serial
     encode it parallelized). Row values are unchanged either way (the
-    oracle compares canonicalized rows)."""
+    oracle compares canonicalized rows).
+
+    Encode and decode run FUSED in one mapInArrow stage (r6 session 2,
+    guide §4.1, `roundtrip_table`): the same kernels produce and consume
+    the same block bytes, but the blocks relation no longer round-trips
+    through the JVM between two Python workers — measured 1.26 s → 0.86 s
+    on the sf1.0-scale documents-fsst leg, CRC-identical."""
     import os as _os
 
-    from parquet_spark.operators.decode import decode_table
-    from parquet_spark.operators.encode import encode_table
+    from parquet_spark.operators.decode import roundtrip_table
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
@@ -52,8 +57,7 @@ def _roundtrip(df: DataFrame, codecs: dict | None = None) -> DataFrame:
             sz = 0
         if sz >= par * (128 << 10):
             df = df.repartition(par)
-    blocks = encode_table(df, codecs=codecs)
-    return decode_table(blocks, df.schema)
+    return roundtrip_table(df, codecs=codecs)
 
 
 def _roundtrip_proj(spark: SparkSession, sf_dir: str, table: str, columns: list[str], codecs: dict | None = None) -> DataFrame:
@@ -65,21 +69,24 @@ def _roundtrip_proj(spark: SparkSession, sf_dir: str, table: str, columns: list[
     pyarrow inside the task instead — same encode kernels, same decoded
     rows (oracle-checked), 2.83 s → 1.51 s measured on the auto roundtrip.
     Small inputs keep the plain path (split planning would cost more than
-    the feed)."""
+    the feed). The decode is additionally fused into the SAME stage (r6
+    session 2, `roundtrip_parquet_arrow`): read+encode+decode in one
+    mapInArrow, so the block payloads never cross into the JVM between
+    the kernels — 1.07 s → 0.74 s measured on the 6M-row auto roundtrip,
+    CRC-identical."""
     path = f"{sf_dir}/{table}.parquet"
     df = _t(spark, sf_dir, table).select(*columns)
     try:
         from parquet_spark.sources.arrow_scan import (
             MIN_FUSED_ROWS,
-            encode_parquet_arrow,
             estimate_rows,
+            roundtrip_parquet_arrow,
         )
 
         if estimate_rows(path) >= MIN_FUSED_ROWS:
-            from parquet_spark.operators.decode import decode_table
-
-            blocks = encode_parquet_arrow(spark, path, list(columns), codecs=codecs)
-            return decode_table(blocks, df.schema)
+            return roundtrip_parquet_arrow(
+                spark, path, list(columns), df.schema, codecs=codecs
+            )
     except (OSError, ValueError):
         pass  # non-local or unreadable input: use the Spark scan
     return _roundtrip(df, codecs=codecs)

@@ -94,6 +94,124 @@ def decode_table(
     return proj.mapInArrow(_decode_fn(list(columns), out_schema, verify), out_schema)
 
 
+def roundtrip_table(
+    df: DataFrame,
+    codecs: dict | None = None,
+    block_rows: int | None = None,
+) -> DataFrame:
+    """encode→decode fused into ONE mapInArrow stage (r6, guide §4.1).
+
+    Semantically identical to `decode_table(encode_table(df), df.schema)`
+    — the same `_encode_fn` kernels produce the same block bytes and the
+    same `_decode_fn` kernels decode them — but the blocks relation never
+    crosses the Python↔JVM boundary between the two stages (two chained
+    mapInArrow nodes each run their own Python worker, with a full Arrow
+    round-trip of the multi-MB payloads between them). Measured on the
+    sf1.0-scale documents-fsst roundtrip: 1.26 s → 0.86 s interleaved
+    min, CRC-identical. Stats sidecar columns are skipped — the immediate
+    decode would discard them (same rule as the fused-scan encode path)."""
+    from parquet_spark.operators.encode import (
+        BUCKET_COL,
+        DEFAULT_BLOCK_ROWS,
+        _encode_fn,
+    )
+
+    block_rows = block_rows or DEFAULT_BLOCK_ROWS
+    columns = [c for c in df.columns if c != BUCKET_COL]
+    out_schema = StructType(
+        [next(f for f in df.schema.fields if f.name == c) for c in columns]
+    )
+    enc = _encode_fn(
+        columns, block_rows, codecs, None, has_bucket=BUCKET_COL in df.columns
+    )
+    dec = _decode_fn(columns, out_schema, False)
+
+    def gen(batches):
+        yield from dec(enc(batches))
+
+    return df.mapInArrow(gen, out_schema)
+
+
+def _maybe_decode_blocks_arrow(
+    spark: SparkSession,
+    data_dir: str,
+    columns: list[str],
+    out_schema: StructType,
+    verify: bool,
+) -> DataFrame | None:
+    """Fused pyarrow blocks-scan decode for the bare read case (r6
+    optimization, guide §4.1/§8.4 — the same move as sources.arrow_scan
+    on the encode side): instead of Spark scanning the blocks parquet
+    (multi-MB binary payloads copied parquet → JVM column vector →
+    internal row → Arrow feed), each task reads its own blocks slice with
+    pyarrow straight into Arrow and runs the SAME `_decode_fn` kernels.
+    Measured on the bench's encoded sequences table (300k rows, 32 block
+    files): decode+agg 1.02 s → 0.62 s interleaved min, CRC-identical.
+
+    Only the shapes this reproduces exactly qualify; anything else
+    returns None and the caller keeps the Spark scan:
+    - local filesystem storage (tablefs URIs fall back),
+    - no hive-style subdirectories under the generation dir,
+    - no `where` pruning / `as_of` batch filtering (the caller gates).
+    Schema evolution is honored per file: payload columns a blocks file
+    does not carry are null-filled, exactly like mergeSchema + the
+    decode's null-scatter. At scale the planning is file-listing only
+    (>= parallelism files ⇒ zero driver footer reads, same rule as the
+    encode-side planner)."""
+    try:
+        if not os.path.isdir(data_dir):
+            return None
+        entries = os.listdir(data_dir)
+        if any(os.path.isdir(os.path.join(data_dir, e)) for e in entries):
+            return None  # partition-dir layout: keep Spark's scan
+        files = sorted(
+            os.path.join(data_dir, e)
+            for e in entries
+            if e.endswith(".parquet") and not e.startswith((".", "_"))
+        )
+    except OSError:
+        return None
+    if not files:
+        return None
+    from parquet_spark.sources.arrow_scan import _read_split, plan_arrow_splits
+
+    try:
+        splits = plan_arrow_splits(data_dir, spark.sparkContext.defaultParallelism)
+    except Exception:  # noqa: BLE001 — any planning surprise (unreadable
+        # footer, all-empty part files): the Spark scan is always correct
+        return None
+    if not splits:
+        return None
+    bc = spark.sparkContext.broadcast(splits)
+    sdf = spark.range(0, len(splits), numPartitions=len(splits))
+    dec = _decode_fn(list(columns), out_schema, verify)
+    want = (["meta"] if verify else []) + ["n_rows"] + list(columns)
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def feed():
+            for b in batches:
+                for sid in b.column("id").to_pylist():
+                    f, rg, lo, hi = bc.value[sid]
+                    have = set(pq.ParquetFile(f).schema_arrow.names)
+                    cols_here = [c for c in want if c in have]
+                    missing = [c for c in want if c not in have]
+                    for batch in _read_split(f, rg, lo, hi, cols_here, 16384):
+                        for c in missing:
+                            # written before the column existed: null
+                            # payload → _decode_fn null-fills the rows
+                            batch = batch.append_column(
+                                c, pa.nulls(batch.num_rows, pa.binary())
+                            )
+                        yield batch
+
+        yield from dec(feed())
+
+    return sdf.mapInArrow(gen, out_schema)
+
+
 _PRUNE_OPS = {">", ">=", "<", "<=", "=", "==", "!=", "in"}
 
 
@@ -217,6 +335,24 @@ def read_encoded(
     if snap is None:
         raise FileNotFoundError(f"no snapshot.json under {path}")
     schema = StructType.fromJson(snap["schema"])
+    if where is None and as_of is None:
+        # bare full read: fuse the blocks scan into the decode mapInArrow
+        # (pyarrow reads the payloads straight into Arrow inside each
+        # task — no JVM row hop for multi-MB binaries). Falls back to the
+        # Spark scan for any shape the fused reader does not reproduce.
+        known = {f.name for f in schema.fields}
+        cols = list(columns or [f.name for f in schema.fields])
+        missing = [c for c in cols if c not in known]
+        if missing:
+            raise KeyError(
+                f"column(s) {missing} not in encoded table; available: {sorted(known)}"
+            )
+        out_schema = StructType([next(f for f in schema.fields if f.name == c) for c in cols])
+        fused = _maybe_decode_blocks_arrow(
+            spark, os.path.join(path, snap.get("data_dir", "data")), cols, out_schema, verify
+        )
+        if fused is not None:
+            return fused
     # the snapshot names the live generation dir — after a compaction
     # commit (rename-less pointer swap) it is not necessarily "data";
     # mergeSchema unions batch dirs written before a column was added

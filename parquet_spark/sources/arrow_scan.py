@@ -230,6 +230,43 @@ def encode_parquet_arrow(
     return sdf.mapInArrow(gen, out_ddl)
 
 
+def roundtrip_parquet_arrow(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    out_schema,
+    codecs: dict | None = None,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """Single-stage read+encode+decode roundtrip (r6, guide §4.1): the
+    fused scan feeds `_encode_fn` AND the block batches feed `_decode_fn`
+    inside the SAME mapInArrow task, so the multi-MB block payloads never
+    cross into the JVM between the two kernels (two chained mapInArrow
+    nodes run two Python workers per task with a full Arrow round-trip of
+    the blocks relation between them). Same kernels, same block bytes,
+    same decoded rows — measured 1.07 s → 0.74 s interleaved min on the
+    6M-row lineitem roundtrip, CRC-identical."""
+    from parquet_spark.operators.decode import _decode_fn
+
+    splits = plan_arrow_splits(path, spark.sparkContext.defaultParallelism, block_rows)
+    bc = spark.sparkContext.broadcast(splits)
+    sdf = spark.range(0, len(splits), numPartitions=len(splits))
+    cols = list(columns)
+    enc = _encode_fn(cols, block_rows, codecs, None, has_bucket=False)
+    dec = _decode_fn(cols, out_schema, False)
+
+    def gen(batches):
+        def feed():
+            for b in batches:
+                for sid in b.column("id").to_pylist():
+                    f, rg, lo, hi = bc.value[sid]
+                    yield from _read_split(f, rg, lo, hi, cols, block_rows)
+
+        yield from dec(enc(feed()))
+
+    return sdf.mapInArrow(gen, out_schema)
+
+
 def encode_splits_arrow(
     spark: SparkSession,
     splits: list[tuple[int, str, int, int, int]],
