@@ -67,6 +67,18 @@ def _decode_fn(columns: list[str], spark_schema: StructType, verify: bool = Fals
     return fn
 
 
+def _projected(schema: StructType, columns: list[str] | None) -> tuple[list[str], StructType]:
+    """Validate a projection against the table schema; shared by
+    decode_table and read_encoded's fused bare-read gate so the contract
+    (column order, KeyError message) cannot drift between the paths."""
+    known = {f.name: f for f in schema.fields}
+    cols = list(columns or [f.name for f in schema.fields])
+    missing = [c for c in cols if c not in known]
+    if missing:
+        raise KeyError(f"column(s) {missing} not in encoded table; available: {sorted(known)}")
+    return cols, StructType([known[c] for c in cols])
+
+
 def decode_table(
     blocks_df: DataFrame,
     schema: StructType,
@@ -79,12 +91,7 @@ def decode_table(
     before decoding (integrity gate for untrusted storage)."""
     from pyspark.sql import functions as F
 
-    known = {f.name: f for f in schema.fields}
-    columns = columns or [f.name for f in schema.fields]
-    missing = [c for c in columns if c not in known]
-    if missing:
-        raise KeyError(f"column(s) {missing} not in encoded table; available: {sorted(known)}")
-    out_schema = StructType([known[c] for c in columns])
+    columns, out_schema = _projected(schema, columns)
     # schema-evolved tables: a column the snapshot knows but NO retained
     # block carries (or that older batches lack) decodes as nulls
     for c in columns:
@@ -114,10 +121,12 @@ def roundtrip_table(
         BUCKET_COL,
         DEFAULT_BLOCK_ROWS,
         _encode_fn,
+        check_reserved_columns,
     )
 
     block_rows = block_rows or DEFAULT_BLOCK_ROWS
     columns = [c for c in df.columns if c != BUCKET_COL]
+    check_reserved_columns(columns)
     out_schema = StructType(
         [next(f for f in df.schema.fields if f.name == c) for c in columns]
     )
@@ -164,26 +173,32 @@ def _maybe_decode_blocks_arrow(
         entries = os.listdir(data_dir)
         if any(os.path.isdir(os.path.join(data_dir, e)) for e in entries):
             return None  # partition-dir layout: keep Spark's scan
-        files = sorted(
-            os.path.join(data_dir, e)
+        data_bytes = sum(
+            os.path.getsize(os.path.join(data_dir, e))
             for e in entries
             if e.endswith(".parquet") and not e.startswith((".", "_"))
         )
     except OSError:
         return None
-    if not files:
-        return None
     from parquet_spark.sources.arrow_scan import _read_split, plan_arrow_splits
 
     try:
         splits = plan_arrow_splits(data_dir, spark.sparkContext.defaultParallelism)
-    except Exception:  # noqa: BLE001 — any planning surprise (unreadable
-        # footer, all-empty part files): the Spark scan is always correct
+    except Exception:  # noqa: BLE001 — any planning surprise (no/unreadable
+        # files, all-empty part files): the Spark scan is always correct
         return None
     if not splits:
         return None
     bc = spark.sparkContext.broadcast(splits)
-    sdf = spark.range(0, len(splits), numPartitions=len(splits))
+    # pack splits into tasks the way Spark's scan bin-packs small files:
+    # a fragmented table (many tiny block files — the state compact_table
+    # exists to fix, and compact_table itself reads through here) must not
+    # schedule one near-empty task per file. Partition count follows data
+    # size (~128 MB per task, Spark's maxPartitionBytes default) with a
+    # floor of full parallelism; each task loops over its packed splits.
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(len(splits), max(par, data_bytes // (128 << 20))))
+    sdf = spark.range(0, len(splits), numPartitions=n_parts)
     dec = _decode_fn(list(columns), out_schema, verify)
     want = (["meta"] if verify else []) + ["n_rows"] + list(columns)
 
@@ -195,10 +210,11 @@ def _maybe_decode_blocks_arrow(
             for b in batches:
                 for sid in b.column("id").to_pylist():
                     f, rg, lo, hi = bc.value[sid]
-                    have = set(pq.ParquetFile(f).schema_arrow.names)
+                    pf = pq.ParquetFile(f)
+                    have = set(pf.schema_arrow.names)
                     cols_here = [c for c in want if c in have]
                     missing = [c for c in want if c not in have]
-                    for batch in _read_split(f, rg, lo, hi, cols_here, 16384):
+                    for batch in _read_split(f, rg, lo, hi, cols_here, 16384, pf=pf):
                         for c in missing:
                             # written before the column existed: null
                             # payload → _decode_fn null-fills the rows
@@ -340,14 +356,7 @@ def read_encoded(
         # (pyarrow reads the payloads straight into Arrow inside each
         # task — no JVM row hop for multi-MB binaries). Falls back to the
         # Spark scan for any shape the fused reader does not reproduce.
-        known = {f.name for f in schema.fields}
-        cols = list(columns or [f.name for f in schema.fields])
-        missing = [c for c in cols if c not in known]
-        if missing:
-            raise KeyError(
-                f"column(s) {missing} not in encoded table; available: {sorted(known)}"
-            )
-        out_schema = StructType([next(f for f in schema.fields if f.name == c) for c in cols])
+        cols, out_schema = _projected(schema, columns)
         fused = _maybe_decode_blocks_arrow(
             spark, os.path.join(path, snap.get("data_dir", "data")), cols, out_schema, verify
         )

@@ -60,6 +60,23 @@ _STATS_SPARK_TYPES = {
 }
 
 
+def check_reserved_columns(columns: list[str]) -> None:
+    """Refuse input column names that collide with the block layout's
+    reserved columns — shared by every path that runs `_encode_fn`
+    (encode_table, decode.roundtrip_table) so the collision surfaces as a
+    clear plan-time ValueError, not an executor-side duplicate-field
+    KeyError at action time."""
+    reserved = {"part_id", "block_id", "bucket", "n_rows", "meta"}
+    bad = [c for c in columns
+           if c in reserved or c.startswith(("_min_", "_max_", "_bloom_"))]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} collide with the block layout's reserved "
+            f"columns ({sorted(reserved)} and _min_/_max_/_bloom_ prefixes) — "
+            f"rename before encoding"
+        )
+
+
 def _stats_cols(schema) -> list[str]:
     return [
         f.name for f in schema.fields
@@ -263,15 +280,7 @@ def encode_table(
     Bloom filter (`_bloom_<col>`) for equality pruning (stats/bloom.py)."""
     has_bucket = BUCKET_COL in df.columns
     columns = columns or [c for c in df.columns if c != BUCKET_COL]
-    reserved = {"part_id", "block_id", "bucket", "n_rows", "meta"}
-    bad = [c for c in columns
-           if c in reserved or c.startswith(("_min_", "_max_", "_bloom_"))]
-    if bad:
-        raise ValueError(
-            f"column name(s) {bad} collide with the block layout's reserved "
-            f"columns ({sorted(reserved)} and _min_/_max_/_bloom_ prefixes) — "
-            f"rename before encoding"
-        )
+    check_reserved_columns(columns)
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     stats_cols = [c for c in columns if type_of.get(c) in _STATS_SPARK_TYPES]
     bloom_cols = list(bloom_cols or [])

@@ -169,13 +169,15 @@ def _plan_splits_for_files(files: list[str], parallelism: int, block_rows: int) 
     return splits
 
 
-def _read_split(path: str, rg: int, lo: int, hi: int, cols: list[str], batch_rows: int):
+def _read_split(path: str, rg: int, lo: int, hi: int, cols: list[str], batch_rows: int, pf=None):
     """Yield Arrow batches for rows [lo, hi) of one row group (rg == -1:
     the whole file; hi == -1: to the end). Stops decoding at hi, so a
-    sub-split pays at most the partial decode of its leading rows."""
+    sub-split pays at most the partial decode of its leading rows.
+    `pf`: an already-open ParquetFile for `path` (callers that probed the
+    schema avoid a second footer read)."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    pf = pf or pq.ParquetFile(path)
     rgs = None if rg < 0 else [rg]
     end = float("inf") if hi < 0 else hi
     off = 0
@@ -190,6 +192,30 @@ def _read_split(path: str, rg: int, lo: int, hi: int, cols: list[str], batch_row
             break
 
 
+def _fused_scan_df(spark, path, cols, block_rows, kernel, out_schema):
+    """Shared skeleton of the fused-scan operators: plan splits, ship
+    them as a broadcast + JVM-native Range of split indices (one tiny row
+    each — a parallelize()d Python RDD would evaluate in one Python
+    worker and hand rows to the mapInArrow worker through the JVM, a
+    second Python hop per task that measured ~0.2 s across a 36-task
+    stage), and run `kernel` over the pyarrow batch feed inside each
+    task. The broadcast keeps the task closure O(1) at any split count."""
+    splits = plan_arrow_splits(path, spark.sparkContext.defaultParallelism, block_rows)
+    bc = spark.sparkContext.broadcast(splits)
+    sdf = spark.range(0, len(splits), numPartitions=len(splits))
+
+    def gen(batches):
+        def feed():
+            for b in batches:
+                for sid in b.column("id").to_pylist():
+                    f, rg, lo, hi = bc.value[sid]
+                    yield from _read_split(f, rg, lo, hi, cols, block_rows)
+
+        yield from kernel(feed())
+
+    return sdf.mapInArrow(gen, out_schema)
+
+
 def encode_parquet_arrow(
     spark: SparkSession,
     path: str,
@@ -202,32 +228,13 @@ def encode_parquet_arrow(
     optional stats columns — this path serves the in-memory roundtrip,
     where blocks are decoded immediately and per-block min/max would be
     computed only to be dropped)."""
-    splits = plan_arrow_splits(path, spark.sparkContext.defaultParallelism, block_rows)
-    # JVM-native Range (one split index per partition) + a broadcast of
-    # the split list: a parallelize()d Python RDD would evaluate in one
-    # Python worker and hand rows to the mapInArrow worker through the
-    # JVM — a second Python hop per task that measured ~0.2 s across a
-    # 36-task stage (r6). The broadcast keeps the task closure O(1) at
-    # any split count.
-    bc = spark.sparkContext.broadcast(splits)
-    sdf = spark.range(0, len(splits), numPartitions=len(splits))
     cols = list(columns)
     enc = _encode_fn(cols, block_rows, codecs, compression, has_bucket=False)
-
-    def gen(batches):
-        def feed():
-            for b in batches:
-                for sid in b.column("id").to_pylist():
-                    f, rg, lo, hi = bc.value[sid]
-                    yield from _read_split(f, rg, lo, hi, cols, block_rows)
-
-        yield from enc(feed())
-
     out_ddl = (
         "part_id int, block_id long, bucket int, n_rows int, meta string, "
         + ", ".join(f"`{c}` binary" for c in cols)
     )
-    return sdf.mapInArrow(gen, out_ddl)
+    return _fused_scan_df(spark, path, cols, block_rows, enc, out_ddl)
 
 
 def roundtrip_parquet_arrow(
@@ -247,24 +254,15 @@ def roundtrip_parquet_arrow(
     same decoded rows — measured 1.07 s → 0.74 s interleaved min on the
     6M-row lineitem roundtrip, CRC-identical."""
     from parquet_spark.operators.decode import _decode_fn
+    from parquet_spark.operators.encode import check_reserved_columns
 
-    splits = plan_arrow_splits(path, spark.sparkContext.defaultParallelism, block_rows)
-    bc = spark.sparkContext.broadcast(splits)
-    sdf = spark.range(0, len(splits), numPartitions=len(splits))
     cols = list(columns)
+    check_reserved_columns(cols)
     enc = _encode_fn(cols, block_rows, codecs, None, has_bucket=False)
     dec = _decode_fn(cols, out_schema, False)
-
-    def gen(batches):
-        def feed():
-            for b in batches:
-                for sid in b.column("id").to_pylist():
-                    f, rg, lo, hi = bc.value[sid]
-                    yield from _read_split(f, rg, lo, hi, cols, block_rows)
-
-        yield from dec(enc(feed()))
-
-    return sdf.mapInArrow(gen, out_schema)
+    return _fused_scan_df(
+        spark, path, cols, block_rows, lambda feed: dec(enc(feed)), out_schema
+    )
 
 
 def encode_splits_arrow(

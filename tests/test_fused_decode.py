@@ -177,6 +177,33 @@ def test_roundtrip_table_with_codec_override(spark):
     assert _crc(roundtrip_table(df, codecs={"text": "fsst"})) == _crc(df)
 
 
+def test_roundtrip_table_rejects_reserved_columns(spark):
+    """The fused roundtrip must surface block-layout name collisions as
+    the same plan-time ValueError encode_table raises — not an opaque
+    duplicate-field error inside an executor."""
+    from parquet_spark.operators.decode import roundtrip_table
+
+    df = spark.range(5).select(F.col("id").alias("n_rows"))
+    with pytest.raises(ValueError, match="reserved"):
+        roundtrip_table(df)
+
+
+def test_fused_read_packs_fragmented_files(spark, tmp_path):
+    """A fragmented table (many tiny block files) must not schedule one
+    near-empty task per file: split packing follows data size with a
+    floor of full parallelism, like Spark's own small-file bin-packing."""
+    from parquet_spark.operators.decode import read_encoded
+    from parquet_spark.operators.encode import write_encoded
+    from parquet_spark.sources.synth import sequences_df
+
+    path = str(tmp_path / "frag")
+    write_encoded(sequences_df(spark, 1600, seed=11, n_partitions=4), path, target_partitions=16, resume=False)
+    fused = read_encoded(spark, path)
+    par = spark.sparkContext.defaultParallelism
+    assert fused.rdd.getNumPartitions() <= par
+    assert fused.count() == 1600
+
+
 def test_roundtrip_parquet_arrow_matches(spark):
     from parquet_spark.sources.arrow_scan import roundtrip_parquet_arrow
 
